@@ -1,0 +1,159 @@
+"""Synthetic scenes and sequences for tests and benchmarks.
+
+The reference verifies itself by running dataset sequences end-to-end
+(SURVEY.md §4); the datasets are not shipped with this build environment, so
+the test pyramid is grounded on synthetic sequences with exact ground truth:
+a random 3D landmark field rendered as intensity blobs ("point-sprite"
+rendering), full 6-DoF trajectories, and a kidnap generator that teleports
+the camera to exercise the multi-map path (the fr2_360_kidnap analog).
+
+Host-side numpy; this feeds images into the jitted pipeline the same way a
+dataset loader would.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from orbslamm_tpu.utils.config import CameraConfig
+
+
+@dataclasses.dataclass
+class SyntheticSequence:
+    images: np.ndarray  # [T, H, W] uint8
+    poses_cw: np.ndarray  # [T, 4, 4] float32 camera-from-world (ground truth)
+    timestamps: np.ndarray  # [T] float64
+    points_w: np.ndarray  # [P, 3] landmark field
+    K: np.ndarray  # [3, 3]
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+def make_landmark_field(
+    n_points: int = 4000,
+    extent: float = 12.0,
+    depth_range: tuple[float, float] = (4.0, 14.0),
+    seed: int = 0,
+) -> np.ndarray:
+    """Random 3D landmark cloud in front of the origin, non-planar."""
+    rng = np.random.default_rng(seed)
+    pts = np.empty((n_points, 3), np.float32)
+    pts[:, 0] = rng.uniform(-extent, extent, n_points)
+    pts[:, 1] = rng.uniform(-extent * 0.5, extent * 0.5, n_points)
+    pts[:, 2] = rng.uniform(depth_range[0], depth_range[1], n_points)
+    return pts
+
+
+def render_view(
+    points_w: np.ndarray,
+    T_cw: np.ndarray,
+    cam: CameraConfig,
+    point_brightness: np.ndarray,
+    blob: int = 2,
+    background: float = 32.0,
+    noise: float = 2.0,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Point-sprite render: project landmarks, splat square-ish blobs.
+
+    Each landmark has a stable brightness, so its local appearance (and
+    therefore its ORB descriptor) is consistent across views — which is what
+    makes synthetic tracking meaningful.
+    """
+    H, W = cam.height, cam.width
+    img = np.full((H, W), background, np.float32)
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    pc = points_w @ R.T + t
+    z = pc[:, 2]
+    vis = z > 0.3
+    u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+    v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+    vis &= (u >= blob + 1) & (u < W - blob - 1) & (v >= blob + 1) & (v < H - blob - 1)
+    ui = np.round(u[vis]).astype(np.int32)
+    vi = np.round(v[vis]).astype(np.int32)
+    bright = point_brightness[vis]
+    # far points slightly dimmer for scale realism
+    atten = np.clip(6.0 / np.maximum(z[vis], 1.0), 0.4, 1.0)
+    order = np.argsort(z[vis])[::-1]  # paint near points last
+    ui, vi, bright, atten = ui[order], vi[order], bright[order], atten[order]
+    for dv in range(-blob, blob + 1):
+        for du in range(-blob, blob + 1):
+            w = 1.0 if (abs(du) < blob and abs(dv) < blob) else 0.45
+            img[vi + dv, ui + du] = background + (bright * atten - background) * w
+    if noise > 0:
+        rng = rng or np.random.default_rng(0)
+        img = img + rng.normal(0.0, noise, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def make_sequence(
+    n_frames: int = 30,
+    cam: CameraConfig | None = None,
+    n_points: int = 4000,
+    motion: str = "strafe",
+    kidnap_at: int | None = None,
+    seed: int = 0,
+) -> SyntheticSequence:
+    """Generate a rendered sequence with ground-truth poses.
+
+    motion:
+      * "strafe"  — sideways translation with small rotation (good parallax,
+                    the TUM fr1_xyz analog)
+      * "forward" — dominant forward motion (KITTI analog)
+      * "orbit"   — yaw around the field
+    kidnap_at — teleport the camera far away at this frame (tracking loss →
+                new-map path), returning near the start at the end is NOT done
+                here; merge tests construct overlap explicitly.
+    """
+    cam = cam or CameraConfig()
+    rng = np.random.default_rng(seed)
+    pts = make_landmark_field(n_points, seed=seed)
+    if kidnap_at is not None:
+        # second landmark field at the teleport destination so the camera
+        # still sees structure there (a brand-new map gets built on it)
+        pts_b = make_landmark_field(n_points, seed=seed + 1)
+        pts_b[:, 0] += 40.0
+        pts_b[:, 2] += 2.0
+        pts = np.concatenate([pts, pts_b], axis=0)
+    brightness = rng.uniform(90, 255, len(pts)).astype(np.float32)
+
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    images = np.zeros((n_frames, cam.height, cam.width), np.uint8)
+    stamps = np.arange(n_frames, dtype=np.float64) / max(cam.fps, 1.0)
+
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        if motion == "strafe":
+            C = np.array([2.5 * s, 0.4 * np.sin(4 * s), 0.5 * s], np.float32)
+            Rwc = _rot_y(0.15 * s) @ _rot_x(0.05 * np.sin(3 * s))
+        elif motion == "forward":
+            C = np.array([0.3 * np.sin(2 * s), 0.0, 3.5 * s], np.float32)
+            Rwc = _rot_y(0.25 * np.sin(2 * s))
+        elif motion == "orbit":
+            ang = 0.8 * s
+            C = np.array([9.0 * np.sin(ang), 0.0, 9.0 - 9.0 * np.cos(ang)], np.float32)
+            Rwc = _rot_y(ang)
+        else:
+            raise ValueError(motion)
+        if kidnap_at is not None and i >= kidnap_at:
+            C = C + np.array([40.0, 0.0, 2.0], np.float32)
+        # camera-from-world: R = Rwc^T, t = -R C
+        R = Rwc.T
+        t = -R @ C
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses[i] = T
+        images[i] = render_view(pts, T, cam, brightness, rng=rng)
+
+    return SyntheticSequence(images, poses, stamps, pts, cam.K())
