@@ -54,23 +54,41 @@ def make_landmark_field(
     return pts
 
 
+def make_stamps(n_points: int, blob: int = 7, seed: int = 77) -> np.ndarray:
+    """Per-landmark distinctive texture stamps [P, 2b+1, 2b+1] in [0, 1].
+
+    Each landmark gets its own asymmetric random pattern so that (a) its ORB
+    descriptor is distinctive (the ratio test works like on real imagery) and
+    (b) the intensity-centroid orientation is stable across views — a plain
+    radially-symmetric blob has neither property.
+    """
+    rng = np.random.default_rng(seed)
+    size = 2 * blob + 1
+    stamps = rng.uniform(0.25, 1.0, (n_points, size, size)).astype(np.float32)
+    stamps[:, blob, blob] = 1.0  # bright center → reliable FAST response
+    return stamps
+
+
 def render_view(
     points_w: np.ndarray,
     T_cw: np.ndarray,
     cam: CameraConfig,
     point_brightness: np.ndarray,
-    blob: int = 2,
+    stamps: np.ndarray | None = None,
+    blob: int = 7,
     background: float = 32.0,
-    noise: float = 2.0,
+    noise: float = 0.5,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Point-sprite render: project landmarks, splat square-ish blobs.
+    """Point-sprite render: project landmarks, stamp per-landmark textures.
 
-    Each landmark has a stable brightness, so its local appearance (and
-    therefore its ORB descriptor) is consistent across views — which is what
-    makes synthetic tracking meaningful.
+    Stamps are billboard sprites pinned to integer pixels, so a landmark's
+    local appearance (and therefore its ORB descriptor) is consistent across
+    views — which is what makes synthetic tracking meaningful.
     """
     H, W = cam.height, cam.width
+    if stamps is None:
+        stamps = make_stamps(len(points_w), blob)
     img = np.full((H, W), background, np.float32)
     R, t = T_cw[:3, :3], T_cw[:3, 3]
     pc = points_w @ R.T + t
@@ -82,14 +100,16 @@ def render_view(
     ui = np.round(u[vis]).astype(np.int32)
     vi = np.round(v[vis]).astype(np.int32)
     bright = point_brightness[vis]
+    stv = stamps[vis]
     # far points slightly dimmer for scale realism
     atten = np.clip(6.0 / np.maximum(z[vis], 1.0), 0.4, 1.0)
     order = np.argsort(z[vis])[::-1]  # paint near points last
-    ui, vi, bright, atten = ui[order], vi[order], bright[order], atten[order]
+    ui, vi, bright, atten, stv = ui[order], vi[order], bright[order], atten[order], stv[order]
+    amp = bright * atten
     for dv in range(-blob, blob + 1):
         for du in range(-blob, blob + 1):
-            w = 1.0 if (abs(du) < blob and abs(dv) < blob) else 0.45
-            img[vi + dv, ui + du] = background + (bright * atten - background) * w
+            val = background + (amp * stv[:, dv + blob, du + blob] - background)
+            img[vi + dv, ui + du] = np.maximum(val, background)
     if noise > 0:
         rng = rng or np.random.default_rng(0)
         img = img + rng.normal(0.0, noise, img.shape).astype(np.float32)
@@ -125,11 +145,12 @@ def make_sequence(
         pts_b[:, 0] += 40.0
         pts_b[:, 2] += 2.0
         pts = np.concatenate([pts, pts_b], axis=0)
-    brightness = rng.uniform(90, 255, len(pts)).astype(np.float32)
+    brightness = rng.uniform(120, 255, len(pts)).astype(np.float32)
+    stamps = make_stamps(len(pts), seed=seed + 100)
 
     poses = np.zeros((n_frames, 4, 4), np.float32)
     images = np.zeros((n_frames, cam.height, cam.width), np.uint8)
-    stamps = np.arange(n_frames, dtype=np.float64) / max(cam.fps, 1.0)
+    timestamps = np.arange(n_frames, dtype=np.float64) / max(cam.fps, 1.0)
 
     for i in range(n_frames):
         s = i / max(n_frames - 1, 1)
@@ -154,6 +175,6 @@ def make_sequence(
         T[:3, :3] = R
         T[:3, 3] = t
         poses[i] = T
-        images[i] = render_view(pts, T, cam, brightness, rng=rng)
+        images[i] = render_view(pts, T, cam, brightness, stamps=stamps, rng=rng)
 
-    return SyntheticSequence(images, poses, stamps, pts, cam.K())
+    return SyntheticSequence(images, poses, timestamps, pts, cam.K())
