@@ -54,7 +54,7 @@ def make_landmark_field(
     return pts
 
 
-def make_stamps(n_points: int, blob: int = 7, seed: int = 77) -> np.ndarray:
+def make_stamps(n_points: int, blob: int = 5, seed: int = 77) -> np.ndarray:
     """Per-landmark distinctive texture stamps [P, 2b+1, 2b+1] in [0, 1].
 
     Each landmark gets its own asymmetric random pattern so that (a) its ORB
@@ -75,7 +75,7 @@ def render_view(
     cam: CameraConfig,
     point_brightness: np.ndarray,
     stamps: np.ndarray | None = None,
-    blob: int = 7,
+    blob: int = 5,
     background: float = 32.0,
     noise: float = 0.5,
     rng: np.random.Generator | None = None,

@@ -1,0 +1,160 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslamm_tpu.ops import ba, geometry as geo, ransac
+
+
+K = jnp.asarray([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], jnp.float32)
+RNG = np.random.default_rng(42)
+
+
+def make_scene(n=200, outlier_frac=0.2, noise=0.5, baseline=(0.8, 0.05, 0.02), seed=42):
+    RNG = np.random.default_rng(seed)
+    pts = RNG.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pts[:, 2] = RNG.uniform(4, 12, n)
+    T1 = np.eye(4, dtype=np.float32)
+    xi = np.array([*baseline, 0.02, -0.06, 0.01], np.float32)
+    T2 = np.asarray(geo.se3_exp(jnp.asarray(xi)))
+    uv1 = np.array(geo.project(K, geo.transform_points(jnp.asarray(T1), jnp.asarray(pts))))
+    uv2 = np.array(geo.project(K, geo.transform_points(jnp.asarray(T2), jnp.asarray(pts))))
+    uv1 += RNG.normal(0, noise, uv1.shape)
+    uv2 += RNG.normal(0, noise, uv2.shape)
+    n_out = int(n * outlier_frac)
+    out_idx = RNG.choice(n, n_out, replace=False)
+    uv2[out_idx] = RNG.uniform(0, [640, 480], (n_out, 2))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return pts, T2, uv1, uv2, inlier_gt
+
+
+def test_two_view_init_recovers_pose():
+    pts, T2, uv1, uv2, inlier_gt = make_scene()
+    res = ransac.two_view_init(
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(len(uv1), bool), K, jax.random.key(0),
+    )
+    assert bool(res.success)
+    # rotation must match GT
+    R_est = np.asarray(res.T21[:3, :3])
+    dR = R_est @ T2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 1.0, f"rotation error {ang} deg"
+    # translation direction (scale-free)
+    t_est = np.asarray(res.T21[:3, 3])
+    t_gt = T2[:3, 3]
+    # unrefined 8-point translation direction is coarse; the reference
+    # immediately refines init with a 20-iteration global BA
+    # (Tracking.cc:736), which is exercised in the BA milestone tests
+    cos = abs(t_est @ t_gt) / (np.linalg.norm(t_est) * np.linalg.norm(t_gt))
+    assert cos > 0.98, f"translation direction cos {cos}"
+    # inliers mostly true correspondences
+    inl = np.asarray(res.inliers)
+    assert inl.sum() > 70
+    assert (inlier_gt[inl]).mean() > 0.95
+    # triangulated points proportional to GT (scale-free): check depth ratios
+    X = np.asarray(res.points1)[inl]
+    ratio = X[:, 2] / pts[inl][:, 2]
+    assert np.std(ratio) / np.mean(ratio) < 0.05
+
+
+def test_two_view_init_fails_on_garbage():
+    uv1 = RNG.uniform(0, [640, 480], (150, 2)).astype(np.float32)
+    uv2 = RNG.uniform(0, [640, 480], (150, 2)).astype(np.float32)
+    res = ransac.two_view_init(
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(150, bool), K, jax.random.key(1)
+    )
+    assert not bool(res.success)
+
+
+def test_two_view_init_pure_rotation_rejected():
+    """No parallax → init must not succeed (reference parallax check)."""
+    pts = RNG.uniform(-3, 3, (200, 3)).astype(np.float32)
+    pts[:, 2] = RNG.uniform(4, 12, 200)
+    R = np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.1, 0.0], jnp.float32)))
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, :3] = R
+    uv1 = np.asarray(geo.project(K, jnp.asarray(pts)))
+    uv2 = np.asarray(geo.project(K, geo.transform_points(jnp.asarray(T2), jnp.asarray(pts))))
+    ok = ((uv2 > 0) & (uv2 < [640, 480])).all(1)
+    res = ransac.two_view_init(
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+        jnp.asarray(ok), K, jax.random.key(2),
+    )
+    assert not bool(res.success)
+
+
+def test_pnp_ransac_with_refinement():
+    """RANSAC gives a coarse pose; chained pose_optimize refines it — the
+    reference's Relocalization does exactly this (EPnP → PoseOptimization)."""
+    pts, T2, _, uv2, inlier_gt = make_scene(outlier_frac=0.3)
+    res = ransac.pnp_ransac(
+        jnp.asarray(pts), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(len(pts), bool), K, jax.random.key(3),
+    )
+    assert bool(res.success)
+    T = np.asarray(res.T_cw)
+    dR = T[:3, :3] @ T2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 2.0
+    assert np.linalg.norm(T[:3, 3] - T2[:3, 3]) < 0.15
+    refined = ba.pose_optimize(
+        res.T_cw, K, jnp.asarray(pts), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(len(pts), bool),
+    )
+    Tr = np.asarray(refined.T_cw)
+    dR = Tr[:3, :3] @ T2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.2
+    assert np.linalg.norm(Tr[:3, 3] - T2[:3, 3]) < 0.02
+    assert int(refined.n_inliers) > 120
+
+
+def test_sim3_ransac():
+    # matched 3D points in two frames related by a Sim3, with outliers
+    n = 120
+    p1 = RNG.uniform(-2, 2, (n, 3)).astype(np.float32)
+    p1[:, 2] += 8.0
+    s_gt = 1.8
+    R_gt = np.asarray(geo.so3_exp(jnp.asarray([0.1, 0.4, -0.2], jnp.float32)))
+    t_gt = np.array([0.5, -0.3, 1.0], np.float32)
+    p2 = s_gt * p1 @ R_gt.T + t_gt
+    p2[:20] = RNG.uniform(-2, 2, (20, 3)) + [0, 0, 8]  # outliers
+    res = ransac.sim3_ransac(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool), K, K, jax.random.key(4)
+    )
+    assert bool(res.success)
+    s, R, t = geo.sim3_parts(res.S21)
+    assert abs(float(s) - s_gt) < 0.02
+    assert np.linalg.norm(np.asarray(R) - R_gt) < 0.02
+    assert np.linalg.norm(np.asarray(t) - t_gt) < 0.1
+    assert int(res.n_inliers) >= 95
+
+
+def test_pose_optimize_converges():
+    pts, T2, _, uv2, inlier_gt = make_scene(outlier_frac=0.25, noise=0.5)
+    # perturb GT pose as initialization (motion-model style)
+    T_init = np.asarray(geo.se3_exp(jnp.asarray([0.1, -0.05, 0.08, 0.02, 0.03, -0.01], jnp.float32))) @ T2
+    res = ba.pose_optimize(
+        jnp.asarray(T_init), K, jnp.asarray(pts), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(len(pts), bool),
+    )
+    T = np.asarray(res.T_cw)
+    dR = T[:3, :3] @ T2[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.2, f"rot err {ang}"
+    assert np.linalg.norm(T[:3, 3] - T2[:3, 3]) < 0.02
+    # outliers rejected
+    inl = np.asarray(res.inliers)
+    assert (inlier_gt[inl]).mean() > 0.97
+    assert int(res.n_inliers) > 120
+
+
+def test_pose_optimize_masked_empty():
+    """All-invalid observations: must not NaN or move the pose much."""
+    pts = jnp.asarray(RNG.uniform(-1, 1, (50, 3)), jnp.float32)
+    uv = jnp.zeros((50, 2), jnp.float32)
+    res = ba.pose_optimize(jnp.eye(4), K, pts, uv, jnp.zeros(50, bool))
+    assert bool(jnp.isfinite(res.T_cw).all())
+    assert int(res.n_inliers) == 0
