@@ -13,8 +13,9 @@ This module re-designs the reference's Optimizer.cc around batched, fixed
     [6C, 6C] solve — camera counts in SLAM windows are small, so a dense
     reduced system on the MXU beats sparse scalar code by orders of
     magnitude.
-  * ``pose_graph_optimize`` (sim3) — essential-graph optimization, added in a
-    later milestone.
+  * ``pose_graph_optimize`` — Sim3 essential-graph optimization (reference
+    (MM)OptimizeEssentialGraph, Optimizer.cc:803/:1068): exact per-edge
+    autodiff Jacobians, dense LM over all keyframe Sim3s.
 
 All functions are jit-safe with static capacities and validity masks.
 """
@@ -125,3 +126,270 @@ def pose_optimize(
         (T, _, _), _ = jax.lax.scan(lm_iter, (T, jnp.float32(1e-2), mask), None, length=iters)
         mask = chi2_mask(T)
     return PoseOptResult(T_cw=T, inliers=mask, n_inliers=mask.sum().astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Structure + motion bundle adjustment (Schur-complement LM)
+# ---------------------------------------------------------------------------
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment problem in edge-list (CSR-free) form.
+
+    The observation edge list is THE sharding axis for distributed BA: all
+    reductions below are segment-sums over edges, so sharding edges across
+    devices and psum-ing the reduced blocks gives the multi-chip path
+    (parallel/dist_ba.py) with no change to the math.
+    """
+
+    T_cw: jax.Array  # [C,4,4] camera poses
+    K: jax.Array  # [C,3,3] per-camera intrinsics (multi-robot: different calib)
+    cam_valid: jax.Array  # [C] bool
+    cam_fixed: jax.Array  # [C] bool — gauge anchors (origin KF; merge un-fixes)
+    points: jax.Array  # [P,3]
+    point_valid: jax.Array  # [P] bool
+    obs_cam: jax.Array  # [E] int32
+    obs_point: jax.Array  # [E] int32
+    obs_uv: jax.Array  # [E,2]
+    obs_sigma2: jax.Array  # [E]
+    obs_valid: jax.Array  # [E] bool
+
+
+class BAResult(NamedTuple):
+    T_cw: jax.Array
+    points: jax.Array
+    obs_inlier: jax.Array  # [E] final chi2 classification
+    cost: jax.Array
+
+
+def _ba_residuals(T_cw, K, points, p: BAProblem):
+    Tc = T_cw[p.obs_cam]  # [E,4,4]
+    Kc = K[p.obs_cam]
+    pw = points[p.obs_point]
+    pc = jnp.einsum("eij,ej->ei", Tc[:, :3, :3], pw) + Tc[:, :3, 3]
+    uv = geo.project(Kc, pc)
+    return uv - p.obs_uv, pc, Tc, Kc
+
+
+def _ba_jacobians(Kc, Tc, pc):
+    """Per-edge J wrt camera twist [E,2,6] and wrt point [E,2,3]."""
+    fx, fy = Kc[:, 0, 0], Kc[:, 1, 1]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    zi = 1.0 / jnp.maximum(z, 1e-6)
+    zi2 = zi * zi
+    zero = jnp.zeros_like(x)
+    du = jnp.stack([fx * zi, zero, -fx * x * zi2], axis=-1)
+    dv = jnp.stack([zero, fy * zi, -fy * y * zi2], axis=-1)
+    dpd = jnp.stack([du, dv], axis=-2)  # [E,2,3]
+    px = geo.skew(pc)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), px.shape)
+    Jc = dpd @ jnp.concatenate([eye, -px], axis=-1)  # [E,2,6]
+    Jp = dpd @ Tc[:, :3, :3]  # [E,2,3]
+    return Jc, Jp
+
+
+def _robust_weights(r, sigma2, use, chi2_th):
+    """Huber IRLS weight times information (1/sigma2)."""
+    inv_s2 = 1.0 / sigma2
+    rn = jnp.linalg.norm(r, axis=-1)
+    delta = jnp.sqrt(chi2_th * sigma2)
+    w = jnp.where(rn > delta, delta / jnp.maximum(rn, 1e-9), 1.0) * inv_s2
+    return jnp.where(use, w, 0.0)
+
+
+def _ba_cost(T_cw, K, points, p: BAProblem, use, chi2_th):
+    r, pc, _, _ = _ba_residuals(T_cw, K, points, p)
+    chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
+    hub = jnp.where(chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * chi2) - chi2_th)
+    return jnp.sum(jnp.where(use & (pc[:, 2] > 1e-3), hub, 0.0))
+
+
+def bundle_adjust(
+    p: BAProblem,
+    iters: int = 10,
+    chi2_th: float = CHI2_MONO,
+    lam0: float = 1e-4,
+    reclassify_every: int = 0,
+) -> BAResult:
+    """Levenberg–Marquardt BA with dense Schur-complement camera solve.
+
+    Replaces reference Optimizer::BundleAdjustment / LocalBundleAdjustment
+    (Optimizer.cc:67/:475). Dense [6C,6C] reduced system — C is the (small)
+    camera-window capacity; the MXU eats this. Fixed cameras contribute
+    constraints but receive no update (their tangent rows are zeroed).
+    """
+    C = p.T_cw.shape[0]
+    E = p.obs_cam.shape[0]
+
+    def step(carry, it):
+        T_cw, points, lam = carry
+        r, pc, Tc, Kc = _ba_residuals(T_cw, K=p.K, points=points, p=p)
+        use = p.obs_valid & (pc[:, 2] > 1e-3) \
+            & p.cam_valid[p.obs_cam] & p.point_valid[p.obs_point]
+        w = _robust_weights(r, p.obs_sigma2, use, chi2_th)
+        Jc, Jp = _ba_jacobians(Kc, Tc, pc)
+        # zero out fixed cameras' jacobians → no update, no Schur coupling
+        free = ~p.cam_fixed
+        Jc = Jc * free[p.obs_cam][:, None, None]
+
+        wJc = Jc * w[:, None, None]
+        wJp = Jp * w[:, None, None]
+        Hcc = jnp.zeros((C, 6, 6)).at[p.obs_cam].add(jnp.einsum("eia,eib->eab", wJc, Jc))
+        Hpp = jnp.zeros((points.shape[0], 3, 3)).at[p.obs_point].add(
+            jnp.einsum("eia,eib->eab", wJp, Jp)
+        )
+        gc = jnp.zeros((C, 6)).at[p.obs_cam].add(jnp.einsum("eia,ei->ea", wJc, r))
+        gp = jnp.zeros((points.shape[0], 3)).at[p.obs_point].add(
+            jnp.einsum("eia,ei->ea", wJp, r)
+        )
+        # damping (absolute floor keeps barely-observed blocks invertible)
+        Hcc_d = Hcc + ((lam + 1e-5) * jnp.eye(6))[None] * jnp.maximum(
+            jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0
+        )
+        Hpp_d = Hpp + ((lam + 1e-5) * jnp.eye(3))[None] * jnp.maximum(
+            jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
+        )
+        # points with no effective observations get an identity block (dp=0)
+        w_per_pt = jnp.zeros((points.shape[0],)).at[p.obs_point].add(w)
+        observed = w_per_pt > 1e-9
+        Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        # W = Hcp: dense [C,P,6,3] scatter (local-BA scale)
+        Wcp = jnp.einsum("eia,eib->eab", wJc, Jp)  # [E,6,3]
+        P = points.shape[0]
+        Wd = jnp.zeros((C, P, 6, 3)).at[p.obs_cam, p.obs_point].add(Wcp)
+        # S = Hcc - W Hpp^-1 W^T ; rhs = gc - W Hpp^-1 gp
+        WHinv = jnp.einsum("cpab,pbd->cpad", Wd, Hpp_inv)
+        S = jnp.einsum("cpad,qpbd->cqab", WHinv, Wd)  # [C,C,6,6] sum over p
+        Sfull = -S
+        Sfull = Sfull.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
+        rhs = gc - jnp.einsum("cpad,pd->ca", WHinv, gp)
+        Smat = Sfull.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+        # fixed/invalid cameras: identity rows (no update)
+        lock = (p.cam_fixed | ~p.cam_valid)
+        lockv = jnp.repeat(lock, 6)
+        Smat = jnp.where(lockv[:, None] | lockv[None, :],
+                         jnp.eye(C * 6), Smat)
+        rhsv = jnp.where(lockv, 0.0, rhs.reshape(-1))
+        dc = -jnp.linalg.solve(Smat, rhsv).reshape(C, 6)
+        # back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
+        Wt_dc = jnp.einsum("cpab,ca->pb", Wd, dc)
+        dp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + Wt_dc)
+        dp = dp * (p.point_valid & observed)[:, None]
+
+        T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, T_cw)
+        T_new = jnp.where(lock[:, None, None], T_cw, T_new)
+        pts_new = points + dp
+
+        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_th)
+        c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_th)
+        finite = jnp.isfinite(c_new) & jnp.isfinite(T_new).all() & jnp.isfinite(pts_new).all()
+        better = (c_new < c_old) & finite
+        T_cw = jnp.where(better, T_new, T_cw)
+        points = jnp.where(better, pts_new, points)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 5.0, 1e3))
+        return (T_cw, points, lam), c_new
+
+    (T_cw, points, _), costs = jax.lax.scan(
+        step, (p.T_cw, p.points, jnp.float32(lam0)), jnp.arange(iters)
+    )
+    r, pc, _, _ = _ba_residuals(T_cw, p.K, points, p)
+    chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
+    inlier = p.obs_valid & (chi2 <= chi2_th) & (pc[:, 2] > 1e-3)
+    return BAResult(T_cw=T_cw, points=points, obs_inlier=inlier, cost=costs[-1])
+
+
+# ---------------------------------------------------------------------------
+# Sim3 pose-graph optimization (essential graph)
+# ---------------------------------------------------------------------------
+
+class PoseGraphProblem(NamedTuple):
+    """Sim3 pose graph (reference Optimizer::(MM)OptimizeEssentialGraph,
+    Optimizer.cc:803/:1068): nodes are keyframe Sim3 poses (world→KF), edges
+    are relative Sim3 measurements from the spanning tree / covisibility /
+    loop closures. Monocular scale drift is absorbed by the 7th DoF."""
+
+    S_iw: jax.Array  # [C,8] packed sim3 node poses (node-from-world)
+    node_valid: jax.Array  # [C]
+    node_fixed: jax.Array  # [C] — the loop/anchor KF(s)
+    edge_i: jax.Array  # [E] int32
+    edge_j: jax.Array  # [E] int32
+    edge_Sij: jax.Array  # [E,8] measured S_i ∘ S_j^-1
+    edge_valid: jax.Array  # [E]
+    edge_weight: jax.Array  # [E] information scale
+
+
+def _pg_residual(S_i, S_j, M_ij):
+    """r = log(M_ij ∘ S_j ∘ S_i^-1): zero when S_i ∘ S_j^-1 == M_ij."""
+    return geo.sim3_log(geo.sim3_compose(M_ij, geo.sim3_compose(S_j, geo.sim3_inv(S_i))))
+
+
+def pose_graph_optimize(
+    p: PoseGraphProblem, iters: int = 20, lam0: float = 1e-4
+) -> jax.Array:
+    """Dense LM over the Sim3 pose graph. Returns optimized S_iw [C,8].
+
+    Jacobians are exact via per-edge forward-mode autodiff (14 tangent dims
+    per edge), assembled into a dense [7C,7C] system — essential graphs top
+    out at a few thousand nodes, well inside one chip's dense-solve budget.
+    """
+    C = p.S_iw.shape[0]
+
+    def edge_r(xi_i, xi_j, S_i, S_j, M):
+        return _pg_residual(
+            geo.sim3_compose(geo.sim3_exp(xi_i), S_i),
+            geo.sim3_compose(geo.sim3_exp(xi_j), S_j),
+            M,
+        )
+
+    jac = jax.vmap(jax.jacfwd(edge_r, argnums=(0, 1)), in_axes=(0, 0, 0, 0, 0))
+    res_f = jax.vmap(edge_r, in_axes=(0, 0, 0, 0, 0))
+
+    def total_cost(S):
+        r = res_f(
+            jnp.zeros((p.edge_i.shape[0], 7)),
+            jnp.zeros((p.edge_i.shape[0], 7)),
+            S[p.edge_i],
+            S[p.edge_j],
+            p.edge_Sij,
+        )
+        w = jnp.where(p.edge_valid, p.edge_weight, 0.0)
+        return jnp.sum(w * jnp.sum(r * r, -1))
+
+    def step(carry, _):
+        S, lam = carry
+        Si = S[p.edge_i]
+        Sj = S[p.edge_j]
+        zeros = jnp.zeros((p.edge_i.shape[0], 7))
+        r = res_f(zeros, zeros, Si, Sj, p.edge_Sij)  # [E,7]
+        Ji, Jj = jac(zeros, zeros, Si, Sj, p.edge_Sij)  # [E,7,7] each
+        w = jnp.where(p.edge_valid, p.edge_weight, 0.0)
+        wJi = Ji * w[:, None, None]
+        wJj = Jj * w[:, None, None]
+        H = jnp.zeros((C, C, 7, 7))
+        H = H.at[p.edge_i, p.edge_i].add(jnp.einsum("eia,eib->eab", wJi, Ji))
+        H = H.at[p.edge_j, p.edge_j].add(jnp.einsum("eia,eib->eab", wJj, Jj))
+        H = H.at[p.edge_i, p.edge_j].add(jnp.einsum("eia,eib->eab", wJi, Jj))
+        H = H.at[p.edge_j, p.edge_i].add(jnp.einsum("eia,eib->eab", wJj, Ji))
+        g = jnp.zeros((C, 7))
+        g = g.at[p.edge_i].add(jnp.einsum("eia,ei->ea", wJi, r))
+        g = g.at[p.edge_j].add(jnp.einsum("eia,ei->ea", wJj, r))
+        Hm = H.transpose(0, 2, 1, 3).reshape(C * 7, C * 7)
+        lock = p.node_fixed | ~p.node_valid
+        lockv = jnp.repeat(lock, 7)
+        diag_scale = jnp.maximum(jnp.diagonal(Hm), 1.0)
+        Hm = Hm + jnp.diag((lam + 1e-6) * diag_scale)
+        Hm = jnp.where(lockv[:, None] | lockv[None, :], jnp.eye(C * 7), Hm)
+        gv = jnp.where(lockv, 0.0, g.reshape(-1))
+        dx = -jnp.linalg.solve(Hm, gv).reshape(C, 7)
+        S_new = jax.vmap(lambda d, s: geo.sim3_compose(geo.sim3_exp(d), s))(dx, S)
+        S_new = jnp.where(lock[:, None], S, S_new)
+        c_old = total_cost(S)
+        c_new = total_cost(S_new)
+        better = (c_new < c_old) & jnp.isfinite(c_new)
+        S = jnp.where(better, S_new, S)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-7), jnp.minimum(lam * 5.0, 1e4))
+        return (S, lam), c_new
+
+    (S, _), _ = jax.lax.scan(step, (p.S_iw, jnp.float32(lam0)), None, length=iters)
+    return S
