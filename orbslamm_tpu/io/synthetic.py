@@ -96,20 +96,31 @@ def render_view(
     vis = z > 0.3
     u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
     v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
-    vis &= (u >= blob + 1) & (u < W - blob - 1) & (v >= blob + 1) & (v < H - blob - 1)
-    ui = np.round(u[vis]).astype(np.int32)
-    vi = np.round(v[vis]).astype(np.int32)
+    vis &= (u >= blob + 2) & (u < W - blob - 2) & (v >= blob + 2) & (v < H - blob - 2)
+    ui = np.floor(u[vis]).astype(np.int32)
+    vi = np.floor(v[vis]).astype(np.int32)
+    fu = (u[vis] - ui).astype(np.float32)[:, None, None]
+    fv = (v[vis] - vi).astype(np.float32)[:, None, None]
     bright = point_brightness[vis]
     stv = stamps[vis]
     # far points slightly dimmer for scale realism
     atten = np.clip(6.0 / np.maximum(z[vis], 1.0), 0.4, 1.0)
     order = np.argsort(z[vis])[::-1]  # paint near points last
-    ui, vi, bright, atten, stv = ui[order], vi[order], bright[order], atten[order], stv[order]
+    ui, vi, bright, atten = ui[order], vi[order], bright[order], atten[order]
+    stv, fu, fv = stv[order], fu[order], fv[order]
+    # subpixel splat: bilinear shift of the stamp into a (2b+2)^2 footprint.
+    # Integer pinning would add ±0.5px per-frame jitter to every feature —
+    # twice the localization noise real imagery has.
+    size = 2 * blob + 1
+    pad = np.zeros((len(stv), size + 1, size + 1), np.float32)
+    pad[:, :size, :size] = stv
+    sh_x = (1 - fu) * pad + fu * np.roll(pad, 1, axis=2)
+    sub = (1 - fv) * sh_x + fv * np.roll(sh_x, 1, axis=1)
     amp = bright * atten
-    for dv in range(-blob, blob + 1):
-        for du in range(-blob, blob + 1):
-            val = background + (amp * stv[:, dv + blob, du + blob] - background)
-            img[vi + dv, ui + du] = np.maximum(val, background)
+    for dv in range(size + 1):
+        for du in range(size + 1):
+            val = background + (amp * sub[:, dv, du] - background)
+            img[vi + dv - blob, ui + du - blob] = np.maximum(val, background)
     if noise > 0:
         rng = rng or np.random.default_rng(0)
         img = img + rng.normal(0.0, noise, img.shape).astype(np.float32)

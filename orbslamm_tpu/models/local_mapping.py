@@ -1,0 +1,344 @@
+"""Jitted local-mapping stage (reference LocalMapping.cc, TPU-style).
+
+One call = the work the reference's LocalMapping thread does per keyframe
+(SURVEY.md §3.3): triangulate new landmarks against covisible neighbors,
+run the windowed Schur BA, cull bad landmarks. Runs as a host-scheduled
+stage between tracked frames instead of a free-running thread — the
+reference's queue/abort machinery becomes scheduling policy in
+models/system.py.
+
+Deviations noted for later rounds: external observers of window landmarks
+are dropped from local BA rather than included-as-fixed; keyframe culling
+(LocalMapping.cc:632) lands with the loop-closing milestone.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from orbslamm_tpu.models import map_state as ms
+from orbslamm_tpu.ops import ba, geometry as geo, matching
+from orbslamm_tpu.utils.config import SlamConfig
+
+
+def _fundamental_from_poses(T_a, T_b, K_a, K_b):
+    """F such that x_b' F x_a = 0 (pixels), from camera-from-world poses."""
+    T_ba = T_b @ geo.T_inv(T_a)
+    R, t = T_ba[:3, :3], T_ba[:3, 3]
+    E = geo.skew(t) @ R
+    return jnp.linalg.inv(K_b).T @ E @ jnp.linalg.inv(K_a)
+
+
+def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: int):
+    """Match unassociated features of keyframes a,b along epipolar bands and
+    triangulate (reference CreateNewMapPoints, LocalMapping.cc:207).
+
+    Returns (points [max_new,3], ok [max_new], feat_a [max_new], feat_b
+    [max_new], desc, normal, dmin, dmax) — fixed-size candidate block.
+    """
+    T_a, T_b = m.kf_pose[slot_a], m.kf_pose[slot_b]
+    K_a, K_b = m.kf_K[slot_a], m.kf_K[slot_b]
+    xy_a, xy_b = m.kf_xy[slot_a], m.kf_xy[slot_b]
+    lvl_a, lvl_b = m.kf_level[slot_a], m.kf_level[slot_b]
+    free_a = m.kf_feat_valid[slot_a] & (m.kf_obs_lm[slot_a] < 0)
+    free_b = m.kf_feat_valid[slot_b] & (m.kf_obs_lm[slot_b] < 0)
+
+    F_ab = _fundamental_from_poses(T_a, T_b, K_a, K_b)
+    allowed = matching.epipolar_mask(F_ab, xy_a, xy_b, lvl_b, cfg.orb.scale_factor)
+    allowed &= matching.level_mask(lvl_a, lvl_b, lo=-2, hi=2)
+    # NOTE: like the reference's SearchForTriangulation (ORBmatcher.cc:659)
+    # this applies NO ratio test — the epipolar band (≈2% density) is the
+    # selective filter, and the cheirality/parallax/reproj gates below kill
+    # the remaining wrong pairs.
+    res = matching.match(
+        m.kf_desc[slot_a],
+        m.kf_desc[slot_b],
+        free_a,
+        free_b,
+        allowed=allowed,
+        max_dist=float(cfg.matcher.th_high),
+        ratio=1.0,
+    )
+    res = matching.resolve_duplicates(res, xy_b.shape[0])
+
+    P_a = K_a @ T_a[:3, :]
+    P_b = K_b @ T_b[:3, :]
+    uv_b = xy_b[res.idx]
+    X = geo.triangulate_dlt(P_a, P_b, xy_a, uv_b)  # [M,3] world
+    pc_a = geo.transform_points(T_a, X)
+    pc_b = geo.transform_points(T_b, X)
+    # parallax between rays from the two camera centers
+    C_a = -T_a[:3, :3].T @ T_a[:3, 3]
+    C_b = -T_b[:3, :3].T @ T_b[:3, 3]
+    r1 = X - C_a
+    r2 = X - C_b
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2 = jnp.linalg.norm(r2, axis=-1)
+    cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(d1 * d2, 1e-9)
+    e_a = jnp.sum((geo.project(K_a, pc_a) - xy_a) ** 2, -1)
+    e_b = jnp.sum((geo.project(K_b, pc_b) - uv_b) ** 2, -1)
+    pn = cfg.tracking.pixel_noise
+    s2a = (pn * cfg.orb.scale_factor ** lvl_a.astype(jnp.float32)) ** 2
+    s2b = (pn * cfg.orb.scale_factor ** lvl_b[res.idx].astype(jnp.float32)) ** 2
+    # scale-consistency (reference ratioDist vs ratioOctave, LocalMapping.cc:400)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_oct = (
+        cfg.orb.scale_factor ** lvl_a.astype(jnp.float32)
+        / cfg.orb.scale_factor ** lvl_b[res.idx].astype(jnp.float32)
+    )
+    rf = cfg.orb.scale_factor * 1.5
+    # baseline/median-scene-depth guard (LocalMapping.cc:255:
+    # ratioBaselineDepth < 0.01 → skip the pair): near-zero baselines
+    # triangulate arbitrarily wrong depths and blow up the monocular scale.
+    baseline = jnp.linalg.norm(C_a - C_b)
+    obs_a = m.kf_obs_lm[slot_a]
+    lm_z = geo.transform_points(T_a, m.lm_pos[jnp.maximum(obs_a, 0)])[:, 2]
+    z_ok = (obs_a >= 0) & m.kf_feat_valid[slot_a]
+    zs = jnp.sort(jnp.where(z_ok, lm_z, jnp.inf))
+    med_depth = zs[jnp.maximum((z_ok.sum() - 1) // 2, 0)]
+    pair_ok = baseline > 0.02 * jnp.where(jnp.isfinite(med_depth), med_depth, 1e9)
+    ok = (
+        res.ok
+        & pair_ok
+        & (pc_a[:, 2] > 0.02)
+        & (pc_b[:, 2] > 0.02)
+        & (cosp < 0.9998)
+        & (e_a < 5.991 * s2a)
+        & (e_b < 5.991 * s2b)
+        & (ratio_dist < ratio_oct * rf)
+        & (ratio_dist * rf > ratio_oct)
+    )
+    # pack the best max_new candidates
+    score = jnp.where(ok, -res.dist, -1e9)
+    _, pick = jax.lax.top_k(score, max_new)
+    okp = ok[pick]
+    n = jnp.arange(xy_a.shape[0])
+    feat_a = pick.astype(jnp.int32)
+    feat_b = res.idx[pick]
+    del n
+    Xp = X[pick]
+    desc = m.kf_desc[slot_a][pick]
+    # viewing normal: camera→point direction, as in MapPoint::UpdateNormalAndDepth
+    normal = (r1 / jnp.maximum(d1[:, None], 1e-9))[pick]
+    level_a = lvl_a[pick].astype(jnp.float32)
+    dist_a = d1[pick]
+    dmax = dist_a * cfg.orb.scale_factor**level_a
+    dmin = dmax / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
+    return Xp, okp, feat_a, feat_b, desc, normal, dmin, dmax
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors", "max_new"), donate_argnums=(1,))
+def triangulate_new_landmarks(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    n_neighbors: int = 2,
+    max_new: int = 256,
+) -> ms.MapState:
+    """Create new landmarks between the new keyframe and its top covisible
+    neighbors."""
+    W = ms.covisibility(m)
+    row = jnp.where(
+        m.kf_valid & (jnp.arange(W.shape[0]) != kf_slot), W[kf_slot], -1
+    )
+    _, nbrs = jax.lax.top_k(row, n_neighbors)
+    nbr_ok = row[nbrs] > 0
+
+    for i in range(n_neighbors):
+        slot_b = nbrs[i]
+        X, okp, feat_a, feat_b, desc, normal, dmin, dmax = _triangulate_pair(
+            cfg, m, kf_slot, slot_b, max_new
+        )
+        okp = okp & nbr_ok[i]
+        slots = ms.free_lm_slots(m, max_new)
+        # don't exceed capacity: a slot that is still valid means pool full
+        okp &= ~m.lm_valid[slots]
+        m = ms.add_landmarks(m, slots, okp, X, desc, normal, dmin, dmax, kf_slot)
+        # write observations into both keyframes (drop masked)
+        Mfeat = m.kf_obs_lm.shape[1]
+        fa = jnp.where(okp, feat_a, Mfeat)
+        fb = jnp.where(okp, feat_b, Mfeat)
+        m = m._replace(
+            kf_obs_lm=m.kf_obs_lm.at[kf_slot, fa]
+            .set(slots, mode="drop")
+            .at[slot_b, fb]
+            .set(slots, mode="drop")
+        )
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "window", "n_fixed", "iters"), donate_argnums=(1,)
+)
+def local_bundle_adjustment(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    window: int = 12,
+    n_fixed: int = 8,
+    iters: int = 8,
+) -> ms.MapState:
+    """Windowed Schur BA around the new keyframe (Optimizer.cc:475).
+
+    The top-``window`` covisible keyframes are free; the NEXT ``n_fixed``
+    covisible keyframes participate as fixed anchors — the reference's
+    "fixed cameras that observe local map points" (Optimizer.cc:522-540),
+    which pin the window's gauge (position AND monocular scale) to the rest
+    of the map. Without them each local BA lets the window drift.
+    """
+    Wc = ms.covisibility(m)
+    K_pool, Mfeat = m.kf_obs_lm.shape
+    total = window + n_fixed
+    row = jnp.where(m.kf_valid, Wc[kf_slot], -1).at[kf_slot].set(1 << 30)
+    _, win = jax.lax.top_k(row, total)  # includes kf_slot first
+    win_ok = (row[win] > 0) & m.kf_valid[win]
+    # gauge: boundary anchors + oldest valid window KF + globally-fixed KFs
+    oldest = jnp.argmin(jnp.where(win_ok, win, 1 << 30))
+    fixed = (
+        m.kf_fixed[win]
+        | (jnp.arange(total) == oldest)
+        | (jnp.arange(total) >= window)
+    )
+    window = total  # the remainder of the body treats all slots uniformly
+
+    obs_lm = m.kf_obs_lm[win]  # [W,M]
+    feat_ok = m.kf_feat_valid[win] & (obs_lm >= 0)
+    lm_idx = jnp.where(feat_ok, obs_lm, 0)
+    feat_ok &= m.lm_valid[lm_idx]
+    obs_cam = jnp.broadcast_to(jnp.arange(window)[:, None], (window, Mfeat))
+    sigma2 = (
+        cfg.tracking.pixel_noise
+        * cfg.orb.scale_factor ** m.kf_level[win].astype(jnp.float32)
+    ) ** 2
+
+    prob = ba.BAProblem(
+        T_cw=m.kf_pose[win],
+        K=m.kf_K[win],
+        cam_valid=win_ok,
+        cam_fixed=fixed,
+        points=m.lm_pos,
+        point_valid=m.lm_valid,
+        obs_cam=obs_cam.reshape(-1).astype(jnp.int32),
+        obs_point=lm_idx.reshape(-1).astype(jnp.int32),
+        obs_uv=m.kf_xy[win].reshape(-1, 2),
+        obs_sigma2=sigma2.reshape(-1),
+        obs_valid=(feat_ok & win_ok[:, None]).reshape(-1),
+    )
+    res = ba.bundle_adjust(prob, iters=iters)
+    # write back window poses (drop invalid) and landmark positions
+    widx = jnp.where(win_ok & ~fixed, win, K_pool)
+    m = m._replace(
+        kf_pose=m.kf_pose.at[widx].set(res.T_cw, mode="drop"),
+        lm_pos=res.points,
+    )
+    # remove observations that ended as BA outliers (edge outlier erasure,
+    # Optimizer.cc LocalBundleAdjustment outlier removal)
+    out = (~res.obs_inlier.reshape(window, Mfeat)) & feat_ok
+    new_rows = jnp.where(out, -1, m.kf_obs_lm[win])
+    m = m._replace(kf_obs_lm=m.kf_obs_lm.at[win].set(jnp.where(win_ok[:, None], new_rows, m.kf_obs_lm[win])))
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def cull_landmarks(cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array) -> ms.MapState:
+    """MapPointCulling (LocalMapping.cc:170): drop landmarks with a bad
+    found/visible ratio or too few observations soon after creation."""
+    obs = ms.lm_obs_count(m)
+    ratio = m.lm_found.astype(jnp.float32) / jnp.maximum(m.lm_visible, 1).astype(jnp.float32)
+    age = kf_slot.astype(jnp.int32) - m.lm_first_kf
+    bad = m.lm_valid & (
+        ((ratio < cfg.mapping.culling_found_ratio) & (m.lm_visible >= 4))
+        | ((age >= 2) & (obs <= 2))
+    )
+    m = m._replace(lm_valid=m.lm_valid & ~bad)
+    # clear dangling observations
+    dangling = (m.kf_obs_lm >= 0) & ~m.lm_valid[jnp.maximum(m.kf_obs_lm, 0)]
+    return m._replace(kf_obs_lm=jnp.where(dangling, -1, m.kf_obs_lm))
+
+
+def _fuse_into_kf(cfg: SlamConfig, m: ms.MapState, slot: jax.Array, lm_mask: jax.Array):
+    """Project the masked landmark set into keyframe ``slot`` and claim
+    unassociated features as new observations (reference ORBmatcher::Fuse,
+    ORBmatcher.cc:827, via LocalMapping::SearchInNeighbors :454)."""
+    T = m.kf_pose[slot]
+    K = m.kf_K[slot]
+    pc = geo.transform_points(T, m.lm_pos)
+    uv = geo.project(K, pc)
+    z = pc[..., 2]
+    Wpx = 2.0 * K[0, 2]
+    Hpx = 2.0 * K[1, 2]
+    C = -T[:3, :3].T @ T[:3, 3]
+    ray = m.lm_pos - C
+    dist = jnp.linalg.norm(ray, axis=-1)
+    cosv = jnp.sum(ray * m.lm_normal, -1) / jnp.maximum(dist, 1e-9)
+    vis = (
+        lm_mask
+        & m.lm_valid
+        & (z > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < Wpx)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < Hpx)
+        & (dist >= 0.8 * m.lm_dist_min) & (dist <= 1.2 * m.lm_dist_max)
+        & (cosv > 0.5)
+    )
+    # exclude landmarks already observed by this KF
+    L = m.lm_pos.shape[0]
+    already = jnp.zeros((L + 1,), bool).at[
+        jnp.where(m.kf_obs_lm[slot] >= 0, m.kf_obs_lm[slot], L)
+    ].set(True)[:L]
+    vis &= ~already
+
+    free = m.kf_feat_valid[slot] & (m.kf_obs_lm[slot] < 0)
+    pred_level = jnp.clip(
+        jnp.floor(
+            jnp.log(jnp.maximum(m.lm_dist_max / jnp.maximum(dist, 1e-6), 1e-6))
+            / jnp.log(cfg.orb.scale_factor)
+        ),
+        0,
+        cfg.orb.n_levels - 1,
+    )
+    radius = 3.0 * cfg.orb.scale_factor**pred_level
+    allowed = jnp.abs(m.kf_xy[slot][:, None, :] - uv[None, :, :]).max(-1) <= radius[None, :]
+    lvl_d = m.kf_level[slot][:, None].astype(jnp.float32) - pred_level[None, :]
+    allowed &= (lvl_d >= -1) & (lvl_d <= 2)
+    res = matching.match(
+        m.kf_desc[slot],
+        m.lm_desc,
+        free,
+        vis,
+        allowed=allowed,
+        max_dist=float(cfg.matcher.th_low),
+        ratio=1.0,
+    )
+    res = matching.resolve_duplicates(res, L)
+    new_obs = jnp.where(res.ok, res.idx, m.kf_obs_lm[slot])
+    return m._replace(kf_obs_lm=m.kf_obs_lm.at[slot].set(new_obs))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors"), donate_argnums=(1,))
+def fuse_neighbors(
+    cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_neighbors: int = 4
+) -> ms.MapState:
+    """SearchInNeighbors (LocalMapping.cc:454): cross-pollinate observations
+    between the new keyframe and its covisible neighborhood, raising obs
+    counts so fresh landmarks survive culling and BA gets more constraints."""
+    W = ms.covisibility(m)
+    row = jnp.where(
+        m.kf_valid & (jnp.arange(W.shape[0]) != kf_slot), W[kf_slot], -1
+    )
+    _, nbrs = jax.lax.top_k(row, n_neighbors)
+    nbr_ok = row[nbrs] > 0
+    L = m.lm_pos.shape[0]
+    # landmarks seen by the new KF
+    own = jnp.zeros((L + 1,), bool).at[
+        jnp.where(m.kf_obs_lm[kf_slot] >= 0, m.kf_obs_lm[kf_slot], L)
+    ].set(True)[:L]
+    for i in range(n_neighbors):
+        # project new KF's landmarks into neighbor i (skip invalid neighbors
+        # by masking the landmark set to empty)
+        m = _fuse_into_kf(cfg, m, nbrs[i], own & nbr_ok[i])
+    # symmetric: project ALL map landmarks into the new keyframe
+    m = _fuse_into_kf(cfg, m, kf_slot, jnp.ones((L,), bool))
+    return m

@@ -56,8 +56,9 @@ class OrbConfig:
     n_levels: int = 8
     ini_th_fast: int = 20
     min_th_fast: int = 7
-    # TPU shape capacities
-    max_keypoints: int = 1024  # per-frame feature capacity (>= n_features)
+    # TPU shape capacities (>= 2*n_features: the init extractor uses a 2N
+    # budget, reference Tracking.cc:120-126)
+    max_keypoints: int = 2048
     cell_size: int = 16  # selection grid cell in level-0 pixels
 
 
@@ -86,6 +87,9 @@ class TrackingConfig:
     min_kfs_for_new_map: int = 10  # early-loss → full reset instead (Tracking.cc:520)
     search_radius_motion: float = 15.0  # th for SearchByProjection motion model
     search_radius_local: float = 3.0
+    pixel_noise: float = 1.0  # base measurement sigma at octave 0 (px);
+    # the reference hard-codes 1.0 via invSigma2 — synthetic imagery with
+    # integer-pinned sprites needs ~1.5
 
 
 @dataclass(frozen=True)
