@@ -175,6 +175,12 @@ def make_sequence(
             ang = 0.8 * s
             C = np.array([9.0 * np.sin(ang), 0.0, 9.0 - 9.0 * np.cos(ang)], np.float32)
             Rwc = _rot_y(ang)
+        elif motion == "outback":
+            # out along the strafe path and back to the start — a loop-
+            # closure trajectory: the return leg revisits earlier viewpoints
+            sb = 1.0 - abs(2.0 * s - 1.0)
+            C = np.array([2.5 * sb, 0.4 * np.sin(4 * sb), 0.5 * sb], np.float32)
+            Rwc = _rot_y(0.15 * sb) @ _rot_x(0.05 * np.sin(3 * sb))
         else:
             raise ValueError(motion)
         if kidnap_at is not None and i >= kidnap_at:
@@ -189,3 +195,104 @@ def make_sequence(
         images[i] = render_view(pts, T, cam, brightness, stamps=stamps, rng=rng)
 
     return SyntheticSequence(images, poses, timestamps, pts, cam.K())
+
+
+def fabricate_map(
+    cfg,
+    poses_cw: np.ndarray,  # [K,4,4]
+    points_w: np.ndarray,  # [P,3]
+    point_desc: np.ndarray,  # [P,32] uint8 per-landmark descriptors
+    frame_ids: np.ndarray | None = None,
+    desc_flip_bits: int = 4,
+    pixel_noise: float = 0.5,
+    seed: int = 0,
+    share_landmarks: np.ndarray | None = None,  # [P] bool: only these get pool slots
+    kf_point_mask: np.ndarray | None = None,  # [K,P] bool: per-KF observability
+    point_ref_kf: np.ndarray | None = None,  # [P] int32 reference keyframe ids
+):
+    """Build a consistent MapState directly from ground truth — keyframes at
+    the given poses observing the landmark field through ideal projection
+    (plus noise), with per-landmark descriptors re-observed with a few random
+    bit flips. Used to unit-test loop closing / merging machinery without
+    running a full tracking session.
+    Returns (MapState, lm_slot_of_point [P] int32 — -1 where unused).
+    """
+    import jax.numpy as jnp
+
+    from orbslamm_tpu.models import map_state as ms
+
+    rng = np.random.default_rng(seed)
+    m = ms.empty_map(cfg)
+    Kmat = cfg.camera.K()
+    H, W = cfg.camera.height, cfg.camera.width
+    Mfeat = cfg.orb.max_keypoints
+    P = len(points_w)
+    use_pts = np.ones(P, bool) if share_landmarks is None else share_landmarks
+    lm_slot = np.full(P, -1, np.int64)
+    lm_slot[use_pts] = np.arange(use_pts.sum())
+
+    # landmark pool
+    centers = np.stack([-T[:3, :3].T @ T[:3, 3] for T in poses_cw])
+    dirs = points_w[None, :, :] - centers[:, None, :]
+    mean_dir = dirs.mean(0)
+    mean_dir /= np.maximum(np.linalg.norm(mean_dir, axis=-1, keepdims=True), 1e-9)
+    dists = np.linalg.norm(dirs, axis=-1).mean(0)
+    sel = np.nonzero(use_pts)[0]
+    refs = (
+        np.zeros(len(sel), np.int32)
+        if point_ref_kf is None
+        else point_ref_kf[sel].astype(np.int32)
+    )
+    m = ms.add_landmarks(
+        m,
+        jnp.asarray(lm_slot[sel], jnp.int32),
+        jnp.ones(len(sel), bool),
+        jnp.asarray(points_w[sel], jnp.float32),
+        jnp.asarray(point_desc[sel]),
+        jnp.asarray(mean_dir[sel], jnp.float32),
+        jnp.asarray(dists[sel] * 0.2, jnp.float32),
+        jnp.asarray(dists[sel] * 5.0, jnp.float32),
+        jnp.asarray(refs),
+    )
+
+    from orbslamm_tpu.ops.orb import Features
+
+    for k, T in enumerate(poses_cw):
+        pc = points_w @ T[:3, :3].T + T[:3, 3]
+        uv = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)) * [Kmat[0, 0], Kmat[1, 1]] + [
+            Kmat[0, 2], Kmat[1, 2]]
+        vis = (pc[:, 2] > 0.3) & (uv[:, 0] > 25) & (uv[:, 0] < W - 25) & \
+              (uv[:, 1] > 25) & (uv[:, 1] < H - 25) & use_pts
+        if kf_point_mask is not None:
+            vis &= kf_point_mask[k]
+        cand = np.nonzero(vis)[0]
+        rng.shuffle(cand)
+        cand = cand[:Mfeat]
+        n = len(cand)
+        xy = np.zeros((Mfeat, 2), np.float32)
+        desc = np.zeros((Mfeat, 32), np.uint8)
+        valid = np.zeros(Mfeat, bool)
+        obs = np.full(Mfeat, -1, np.int64)
+        xy[:n] = uv[cand] + rng.normal(0, pixel_noise, (n, 2))
+        bits = np.unpackbits(point_desc[cand], axis=1, bitorder="little")
+        for i in range(n):
+            fl = rng.choice(256, desc_flip_bits, replace=False)
+            bits[i, fl] ^= 1
+        desc[:n] = np.packbits(bits, axis=1, bitorder="little")
+        valid[:n] = True
+        obs[:n] = lm_slot[cand]
+        feats = Features(
+            xy=jnp.asarray(xy),
+            xy_raw=jnp.asarray(xy),
+            angle=jnp.zeros(Mfeat, jnp.float32),
+            response=jnp.where(jnp.asarray(valid), 50.0, 0.0),
+            level=jnp.zeros(Mfeat, jnp.int32),
+            desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid),
+        )
+        fid = k if frame_ids is None else int(frame_ids[k])
+        m = ms.insert_keyframe(
+            m, jnp.int32(k), jnp.asarray(T, jnp.float32), jnp.asarray(Kmat),
+            feats, jnp.asarray(obs, jnp.int32), fid, float(fid), fixed=(k == 0),
+        )
+    return m, lm_slot

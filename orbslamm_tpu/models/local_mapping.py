@@ -130,7 +130,7 @@ def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: 
     return Xp, okp, feat_a, feat_b, desc, normal, dmin, dmax
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors", "max_new"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors", "max_new"))
 def triangulate_new_landmarks(
     cfg: SlamConfig,
     m: ms.MapState,
@@ -171,7 +171,7 @@ def triangulate_new_landmarks(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "window", "n_fixed", "iters"), donate_argnums=(1,)
+    jax.jit, static_argnames=("cfg", "window", "n_fixed", "iters")
 )
 def local_bundle_adjustment(
     cfg: SlamConfig,
@@ -242,7 +242,7 @@ def local_bundle_adjustment(
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def cull_landmarks(cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array) -> ms.MapState:
     """MapPointCulling (LocalMapping.cc:170): drop landmarks with a bad
     found/visible ratio or too few observations soon after creation."""
@@ -250,8 +250,8 @@ def cull_landmarks(cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array) -> ms.Ma
     ratio = m.lm_found.astype(jnp.float32) / jnp.maximum(m.lm_visible, 1).astype(jnp.float32)
     age = kf_slot.astype(jnp.int32) - m.lm_first_kf
     bad = m.lm_valid & (
-        ((ratio < cfg.mapping.culling_found_ratio) & (m.lm_visible >= 4))
-        | ((age >= 2) & (obs <= 2))
+        ((ratio < cfg.mapping.culling_found_ratio) & (m.lm_visible >= 8))
+        | ((age >= 3) & (obs <= 2))
     )
     m = m._replace(lm_valid=m.lm_valid & ~bad)
     # clear dangling observations
@@ -317,7 +317,7 @@ def _fuse_into_kf(cfg: SlamConfig, m: ms.MapState, slot: jax.Array, lm_mask: jax
     return m._replace(kf_obs_lm=m.kf_obs_lm.at[slot].set(new_obs))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors"), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
 def fuse_neighbors(
     cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_neighbors: int = 4
 ) -> ms.MapState:

@@ -1,0 +1,223 @@
+"""Loop detection and correction (reference LoopClosing.cc, TPU-style).
+
+Pipeline per new keyframe (SURVEY.md §3.4):
+  1. BoW candidate retrieval against the keyframe database — one similarity
+     matmul + masks (KeyFrameDatabase::DetectLoopCandidates analog), with
+     the reference's minScore normalization (min score over covisible KFs).
+  2. Geometric verification: masked descriptor matching between landmark-
+     bearing features of the two keyframes, then 3D-3D Sim3 RANSAC
+     (LoopClosing::ComputeSim3; sim3 absorbs monocular scale drift).
+  3. Correction: Sim3 pose-graph over the essential graph (spanning tree +
+     strong covisibility + loop edge) with the matched keyframe fixed, then
+     landmark correction through each landmark's reference keyframe
+     (LoopClosing::CorrectLoop → MMOptimizeEssentialGraph), optionally
+     followed by a matrix-free global BA (RunGlobalBundleAdjustment).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslamm_tpu.models import map_state as ms
+from orbslamm_tpu.ops import ba, bow, geometry as geo, matching, ransac
+from orbslamm_tpu.utils.config import SlamConfig
+
+
+# ---------------------------------------------------------------------------
+# Detection
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def loop_candidates(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_bow: jax.Array,  # [K, n_words] database of keyframe BoW rows
+    slot: jax.Array,
+    min_gap: int = 10,
+):
+    """Scores + admissibility mask for loop candidates of keyframe ``slot``.
+
+    Returns (scores [K], allowed [K], min_score scalar).
+    """
+    v = kf_bow[slot]
+    scores = bow.bow_score(v, kf_bow)  # [K]
+    W = ms.covisibility(m)
+    connected = W[slot] > 0
+    K = kf_bow.shape[0]
+    ids = jnp.arange(K)
+    allowed = (
+        m.kf_valid
+        & (ids != slot)
+        & ~connected
+        & (ids < slot - min_gap + 1)  # temporal gap (recent KFs excluded)
+    )
+    # minScore: lowest BoW score among covisible keyframes (LoopClosing.cc:131)
+    cov_scores = jnp.where(connected & m.kf_valid, scores, jnp.inf)
+    min_score = jnp.minimum(jnp.min(cov_scores), 1.0)
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.05)
+    return scores, allowed, min_score
+
+
+# ---------------------------------------------------------------------------
+# Sim3 verification
+# ---------------------------------------------------------------------------
+
+class LoopSim3(NamedTuple):
+    success: jax.Array
+    S_ba: jax.Array  # packed sim3: maps slot_a camera coords → slot_b camera coords
+    n_inliers: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_loop_sim3(
+    cfg: SlamConfig, m: ms.MapState, slot_a: jax.Array, slot_b: jax.Array, key
+) -> LoopSim3:
+    """Match landmark-bearing features of the two keyframes and solve the
+    relative Sim3 from the 3D-3D pairs (ComputeSim3, LoopClosing.cc:237)."""
+    has_a = m.kf_feat_valid[slot_a] & (m.kf_obs_lm[slot_a] >= 0)
+    has_b = m.kf_feat_valid[slot_b] & (m.kf_obs_lm[slot_b] >= 0)
+    lm_a = jnp.maximum(m.kf_obs_lm[slot_a], 0)
+    lm_b = jnp.maximum(m.kf_obs_lm[slot_b], 0)
+    has_a &= m.lm_valid[lm_a]
+    has_b &= m.lm_valid[lm_b]
+    res = matching.match(
+        m.kf_desc[slot_a],
+        m.kf_desc[slot_b],
+        has_a,
+        has_b,
+        max_dist=float(cfg.matcher.th_low),
+        ratio=0.75,
+        mutual=True,
+        angles_a=m.kf_angle[slot_a],
+        angles_b=m.kf_angle[slot_b],
+    )
+    res = matching.resolve_duplicates(res, has_b.shape[0])
+    # 3D points in each keyframe's camera frame
+    pa = geo.transform_points(m.kf_pose[slot_a], m.lm_pos[lm_a])
+    pb = geo.transform_points(m.kf_pose[slot_b], m.lm_pos[lm_b[res.idx]])
+    valid = res.ok
+    s3 = ransac.sim3_ransac(
+        pa, pb, valid, m.kf_K[slot_a], m.kf_K[slot_b], key,
+        min_inliers=cfg.loop.min_sim3_inliers,
+    )
+    enough_bow = res.ok.sum() >= cfg.loop.min_bow_matches
+    return LoopSim3(
+        success=s3.success & enough_bow,
+        S_ba=s3.S21,
+        n_inliers=s3.n_inliers,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correction
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_cov_edges", "iters")
+)
+def correct_loop(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    slot_a: jax.Array,
+    slot_b: jax.Array,
+    S_ba: jax.Array,
+    max_cov_edges: int = 256,
+    iters: int = 20,
+) -> ms.MapState:
+    """Essential-graph Sim3 optimization + landmark correction."""
+    K = m.kf_pose.shape[0]
+    S_old = jax.vmap(geo.sim3_from_se3)(m.kf_pose)  # [K,8]
+    # corrected current-KF node: S_aw = S_ba^-1 ∘ S_bw
+    S_aw_corr = geo.sim3_compose(geo.sim3_inv(S_ba), S_old[slot_b])
+    S_init = S_old.at[slot_a].set(S_aw_corr)
+
+    # --- edges ---
+    parent = ms.spanning_parent(m)
+    ids = jnp.arange(K, dtype=jnp.int32)
+    span_i = ids
+    span_j = jnp.maximum(parent, 0)
+    span_ok = (parent >= 0) & m.kf_valid
+    W = ms.covisibility(m)
+    triu = jnp.triu(W, k=1) * m.kf_valid[:, None] * m.kf_valid[None, :]
+    flat = triu.reshape(-1)
+    _, top = jax.lax.top_k(flat, max_cov_edges)
+    cov_i = (top // K).astype(jnp.int32)
+    cov_j = (top % K).astype(jnp.int32)
+    cov_ok = flat[top] >= cfg.loop.essential_graph_min_weight
+
+    edge_i = jnp.concatenate([span_i, cov_i, slot_a[None]])
+    edge_j = jnp.concatenate([span_j, cov_j, slot_b[None]])
+    edge_ok = jnp.concatenate([span_ok, cov_ok, jnp.ones(1, bool)])
+    # measurements from OLD poses except the loop edge (measured Sim3)
+    M_old = jax.vmap(lambda i, j: geo.sim3_compose(S_old[i], geo.sim3_inv(S_old[j])))(
+        edge_i, edge_j
+    )
+    M_loop = geo.sim3_compose(S_aw_corr, geo.sim3_inv(S_old[slot_b]))
+    M = M_old.at[-1].set(M_loop)
+    weight = jnp.ones(edge_i.shape[0]).at[-1].set(5.0)
+
+    prob = ba.PoseGraphProblem(
+        S_iw=S_init,
+        node_valid=m.kf_valid,
+        node_fixed=jnp.zeros(K, bool).at[slot_b].set(True),
+        edge_i=edge_i,
+        edge_j=edge_j,
+        edge_Sij=M,
+        edge_valid=edge_ok,
+        edge_weight=weight,
+    )
+    S_new = ba.pose_graph_optimize(prob, iters=iters)
+
+    # --- apply: poses ---
+    T_new = jax.vmap(geo.sim3_to_se3)(S_new)
+    kf_pose = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_pose)
+
+    # --- apply: landmarks through their reference keyframe ---
+    # p_new = S_new_ref^-1 ∘ S_old_ref (p_old): keep the landmark's camera-
+    # frame position in its reference KF invariant under the correction
+    ref = jnp.clip(m.lm_ref_kf, 0, K - 1)
+    S_corr = jax.vmap(
+        lambda r: geo.sim3_compose(geo.sim3_inv(S_new[r]), S_old[r])
+    )(ref)
+    lm_new = jax.vmap(geo.sim3_apply)(S_corr, m.lm_pos)
+    lm_pos = jnp.where(m.lm_valid[:, None], lm_new, m.lm_pos)
+    return m._replace(kf_pose=kf_pose, lm_pos=lm_pos)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iters", "cg_iters"))
+def global_bundle_adjust(
+    cfg: SlamConfig, m: ms.MapState, iters: int = 10, cg_iters: int = 30
+) -> ms.MapState:
+    """Full-map BA with the matrix-free Schur solver (GBA analog)."""
+    K, Mfeat = m.kf_obs_lm.shape
+    obs_lm = m.kf_obs_lm
+    feat_ok = m.kf_feat_valid & (obs_lm >= 0) & m.kf_valid[:, None]
+    lm_idx = jnp.maximum(obs_lm, 0)
+    feat_ok &= m.lm_valid[lm_idx]
+    obs_cam = jnp.broadcast_to(jnp.arange(K)[:, None], (K, Mfeat))
+    sigma2 = (
+        cfg.tracking.pixel_noise
+        * cfg.orb.scale_factor ** m.kf_level.astype(jnp.float32)
+    ) ** 2
+    prob = ba.BAProblem(
+        T_cw=m.kf_pose,
+        K=m.kf_K,
+        cam_valid=m.kf_valid,
+        cam_fixed=m.kf_fixed,
+        points=m.lm_pos,
+        point_valid=m.lm_valid,
+        obs_cam=obs_cam.reshape(-1).astype(jnp.int32),
+        obs_point=lm_idx.reshape(-1).astype(jnp.int32),
+        obs_uv=m.kf_xy.reshape(-1, 2),
+        obs_sigma2=sigma2.reshape(-1),
+        obs_valid=feat_ok.reshape(-1),
+    )
+    res = ba.bundle_adjust_cg(prob, iters=iters, cg_iters=cg_iters)
+    return m._replace(
+        kf_pose=jnp.where(m.kf_valid[:, None, None], res.T_cw, m.kf_pose),
+        lm_pos=res.points,
+    )

@@ -22,9 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from orbslamm_tpu.models import local_mapping as lm_stage
+from orbslamm_tpu.models import loop_closing as lc_stage
 from orbslamm_tpu.models import map_state as ms
 from orbslamm_tpu.models import tracking as trk
-from orbslamm_tpu.ops import geometry as geo, orb as orb_ops, ransac
+from orbslamm_tpu.ops import bow, geometry as geo, orb as orb_ops, ransac
 from orbslamm_tpu.ops.orb import Features
 from orbslamm_tpu.utils.config import SlamConfig
 
@@ -120,6 +121,12 @@ class MonocularSession:
         self.peak_inliers_since_kf = 0
         self.frame_id = -1
         self.n_kf = 0
+        # place recognition / loop closing
+        self.voc: bow.Vocabulary | None = None
+        self.kf_bow = None  # [K_cap, n_words]
+        self.last_loop_kf = -(10**9)
+        self.loops_closed: list = []
+        self.enable_loop_closing = True
 
     # -- keyframe insertion + mapping stages ------------------------------
     def _insert_keyframe(self, feats: Features, feat_lm, timestamp):
@@ -133,6 +140,70 @@ class MonocularSession:
         self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
         self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
         self.frames_since_kf = 0
+        if self.enable_loop_closing:
+            self._update_bow(int(slot))
+            self._try_close_loop(int(slot))
+
+    # -- place recognition / loop closing ---------------------------------
+    def _update_bow(self, slot: int):
+        """Maintain the keyframe BoW database (KeyFrameDatabase::add analog).
+        The vocabulary is trained online from the first keyframes' descriptors
+        (the reference loads a pre-trained ORBvoc.txt instead)."""
+        if self.voc is None:
+            if self.n_kf < 4:
+                return
+            kv = np.asarray(self.map.kf_valid)
+            descs = []
+            for s in np.nonzero(kv)[0]:
+                fv = np.asarray(self.map.kf_feat_valid[s])
+                descs.append(np.asarray(self.map.kf_desc[s])[fv])
+            train = np.concatenate(descs)
+            self.voc = bow.build_vocabulary(train, branching=8, depth=3, iters=6)
+            K_cap = self.map.kf_pose.shape[0]
+            self.kf_bow = jnp.zeros((K_cap, self.voc.n_words), jnp.float32)
+            for s in np.nonzero(kv)[0]:
+                self._set_bow_row(int(s))
+        else:
+            self._set_bow_row(slot)
+
+    def _set_bow_row(self, slot: int):
+        words = bow.assign_words(
+            self.voc, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
+        )
+        self.kf_bow = self.kf_bow.at[slot].set(bow.bow_vector(self.voc, words))
+
+    def _try_close_loop(self, slot: int):
+        cfg = self.cfg
+        if (
+            self.voc is None
+            or self.n_kf < cfg.loop.min_kfs_for_merge
+            or slot - self.last_loop_kf < cfg.loop.kfs_between_loops
+        ):
+            return
+        scores, allowed, min_score = lc_stage.loop_candidates(
+            cfg, self.map, self.kf_bow, jnp.int32(slot), min_gap=cfg.loop.kfs_between_loops
+        )
+        sc = np.asarray(jnp.where(allowed, scores, -1.0))
+        cand = int(sc.argmax())
+        floor = max(float(min_score), 0.015)
+        if sc[cand] < floor:
+            return
+        self._key, sub = jax.random.split(self._key)
+        ls = lc_stage.compute_loop_sim3(
+            cfg, self.map, jnp.int32(slot), jnp.int32(cand), sub
+        )
+        if not bool(ls.success):
+            return
+        self.map = lc_stage.correct_loop(
+            cfg, self.map, jnp.int32(slot), jnp.int32(cand), ls.S_ba
+        )
+        self.map = lc_stage.global_bundle_adjust(cfg, self.map, iters=8)
+        # tracking state is stale after the correction
+        self.T_cw = self.map.kf_pose[slot]
+        self.last_T = self.T_cw
+        self.velocity = jnp.eye(4)
+        self.last_loop_kf = slot
+        self.loops_closed.append((slot, cand, int(ls.n_inliers)))
 
     def _try_initialize(self, feats: Features, timestamp: float):
         cfg = self.cfg
@@ -206,10 +277,7 @@ class MonocularSession:
         need = self.frames_since_kf >= cfg.tracking.new_kf_max_frames or (
             self.frames_since_kf >= 1
             and n2 > 15
-            and (
-                n2 < cfg.tracking.new_kf_tracked_ratio * self.peak_inliers_since_kf
-                or n2 < 50
-            )
+            and n2 < cfg.tracking.new_kf_tracked_ratio * self.peak_inliers_since_kf
         )
         if need and self.n_kf < cfg.capacity.max_keyframes - 1:
             self._insert_keyframe(feats, r2.feat_lm, timestamp)

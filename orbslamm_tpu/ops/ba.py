@@ -393,3 +393,129 @@ def pose_graph_optimize(
 
     (S, _), _ = jax.lax.scan(step, (p.S_iw, jnp.float32(lam0)), None, length=iters)
     return S
+
+
+def bundle_adjust_cg(
+    p: BAProblem,
+    iters: int = 10,
+    cg_iters: int = 30,
+    chi2_th: float = CHI2_MONO,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """LM bundle adjustment with a MATRIX-FREE Schur solve (PCG).
+
+    Same math as ``bundle_adjust`` but the reduced camera system is solved
+    by preconditioned conjugate gradients whose matrix-vector product is
+    three edge-wise segment ops — no [C,P] tensor is ever materialized, so
+    this scales to full-map global BA (reference RunGlobalBundleAdjustment)
+    and shards over devices along the edge axis.
+    Block-Jacobi preconditioner from the exact Schur diagonal blocks.
+    """
+    C = p.T_cw.shape[0]
+    Pn = p.points.shape[0]
+
+    def step(carry, _):
+        T_cw, points, lam = carry
+        r, pc, Tc, Kc = _ba_residuals(T_cw, K=p.K, points=points, p=p)
+        use = p.obs_valid & (pc[:, 2] > 1e-3) \
+            & p.cam_valid[p.obs_cam] & p.point_valid[p.obs_point]
+        w = _robust_weights(r, p.obs_sigma2, use, chi2_th)
+        Jc, Jp = _ba_jacobians(Kc, Tc, pc)
+        free = ~p.cam_fixed
+        Jc = Jc * free[p.obs_cam][:, None, None]
+        wJc = Jc * w[:, None, None]
+        wJp = Jp * w[:, None, None]
+        Hcc = jnp.zeros((C, 6, 6)).at[p.obs_cam].add(jnp.einsum("eia,eib->eab", wJc, Jc))
+        Hpp = jnp.zeros((Pn, 3, 3)).at[p.obs_point].add(jnp.einsum("eia,eib->eab", wJp, Jp))
+        gc = jnp.zeros((C, 6)).at[p.obs_cam].add(jnp.einsum("eia,ei->ea", wJc, r))
+        gp = jnp.zeros((Pn, 3)).at[p.obs_point].add(jnp.einsum("eia,ei->ea", wJp, r))
+        Hcc_d = Hcc + ((lam + 1e-5) * jnp.eye(6))[None] * jnp.maximum(
+            jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0
+        )
+        Hpp_d = Hpp + ((lam + 1e-5) * jnp.eye(3))[None] * jnp.maximum(
+            jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
+        )
+        w_per_pt = jnp.zeros((Pn,)).at[p.obs_point].add(w)
+        observed = w_per_pt > 1e-9
+        Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        Wcp = jnp.einsum("eia,eib->eab", wJc, Jp)  # [E,6,3] per-edge camera-point block
+
+        def schur_mv(x):  # x [C,6] -> S x
+            xt = x[p.obs_cam]  # [E,6]
+            y = jnp.zeros((Pn, 3)).at[p.obs_point].add(
+                jnp.einsum("eab,ea->eb", Wcp, xt)
+            )
+            z = jnp.einsum("pab,pb->pa", Hpp_inv, y)
+            back = jnp.zeros((C, 6)).at[p.obs_cam].add(
+                jnp.einsum("eab,eb->ea", Wcp, z[p.obs_point])
+            )
+            return jnp.einsum("cab,cb->ca", Hcc_d, x) - back
+
+        # exact Schur diagonal blocks for block-Jacobi preconditioning
+        Sdiag_sub = jnp.zeros((C, 6, 6)).at[p.obs_cam].add(
+            jnp.einsum("eab,ebd,ecd->eac", Wcp, Hpp_inv[p.obs_point], Wcp)
+        )
+        Sdiag = Hcc_d - Sdiag_sub
+        lock = p.cam_fixed | ~p.cam_valid
+        Sdiag = jnp.where(lock[:, None, None], jnp.eye(6)[None], Sdiag)
+        Minv = jnp.linalg.inv(Sdiag + 1e-6 * jnp.eye(6)[None])
+
+        # rhs = -(gc - W Hpp^-1 gp)
+        zp = jnp.einsum("pab,pb->pa", Hpp_inv, gp)
+        red = jnp.zeros((C, 6)).at[p.obs_cam].add(
+            jnp.einsum("eab,eb->ea", Wcp, zp[p.obs_point])
+        )
+        rhs = -(gc - red)
+        rhs = jnp.where(lock[:, None], 0.0, rhs)
+
+        def precond(v):
+            return jnp.einsum("cab,cb->ca", Minv, v)
+
+        def cg_body(carry, _):
+            x, rr, pvec, rz = carry
+            Ap = schur_mv(pvec)
+            Ap = jnp.where(lock[:, None], pvec, Ap)
+            alpha = rz / jnp.maximum(jnp.vdot(pvec, Ap), 1e-12)
+            x = x + alpha * pvec
+            rr = rr - alpha * Ap
+            znew = precond(rr)
+            rz_new = jnp.vdot(rr, znew)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            pvec = znew + beta * pvec
+            return (x, rr, pvec, rz_new), None
+
+        x0 = jnp.zeros((C, 6))
+        r0 = rhs
+        z0 = precond(r0)
+        (dc, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, jnp.vdot(r0, z0)), None, length=cg_iters
+        )
+        dc = jnp.where(lock[:, None], 0.0, dc)
+        # back-substitute points
+        wt = jnp.zeros((Pn, 3)).at[p.obs_point].add(
+            jnp.einsum("eab,ea->eb", Wcp, dc[p.obs_cam])
+        )
+        dp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + wt)
+        dp = dp * (p.point_valid & observed)[:, None]
+
+        T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, T_cw)
+        T_new = jnp.where(lock[:, None, None], T_cw, T_new)
+        pts_new = points + dp
+        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_th)
+        c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_th)
+        finite = jnp.isfinite(c_new) & jnp.isfinite(T_new).all() & jnp.isfinite(pts_new).all()
+        better = (c_new < c_old) & finite
+        T_cw = jnp.where(better, T_new, T_cw)
+        points = jnp.where(better, pts_new, points)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 5.0, 1e3))
+        return (T_cw, points, lam), c_new
+
+    (T_cw, points, _), costs = jax.lax.scan(
+        step, (p.T_cw, p.points, jnp.float32(lam0)), None, length=iters
+    )
+    r, pc, _, _ = _ba_residuals(T_cw, p.K, points, p)
+    chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
+    inlier = p.obs_valid & (chi2 <= chi2_th) & (pc[:, 2] > 1e-3)
+    return BAResult(T_cw=T_cw, points=points, obs_inlier=inlier, cost=costs[-1])

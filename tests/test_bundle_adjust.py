@@ -120,3 +120,16 @@ def test_ba_jit_compiles_once():
     r1 = f(prob)
     r2 = f(prob._replace(points=prob.points + 0.01))
     assert np.isfinite(float(r1.cost)) and np.isfinite(float(r2.cost))
+
+
+def test_ba_cg_matches_dense():
+    """Matrix-free PCG Schur solve must reach the same optimum as the dense
+    solve (the global-BA / distributed path)."""
+    prob, T_gt, pts_gt = build_problem()
+    dense = ba.bundle_adjust(prob, iters=12)
+    cg = ba.bundle_adjust_cg(prob, iters=12, cg_iters=40)
+    rot_d, tr_d = pose_errors(dense.T_cw, T_gt)
+    rot_c, tr_c = pose_errors(cg.T_cw, T_gt)
+    assert rot_c.max() < 0.15, f"cg rot {rot_c}"
+    assert tr_c.max() < 0.04, f"cg tr {tr_c}"
+    assert abs(float(cg.cost) - float(dense.cost)) / max(float(dense.cost), 1) < 0.2
