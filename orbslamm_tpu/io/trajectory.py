@@ -75,6 +75,8 @@ def load_tum(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
             continue
         vals = [float(v) for v in line.split()]
         rows.append(vals)
+    if not rows:
+        return np.zeros(0), np.zeros((0, 7))
     arr = np.asarray(rows, np.float64)
     return arr[:, 0], arr[:, 1:8]
 

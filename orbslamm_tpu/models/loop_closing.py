@@ -221,3 +221,47 @@ def global_bundle_adjust(
         kf_pose=jnp.where(m.kf_valid[:, None, None], res.T_cw, m.kf_pose),
         lm_pos=res.points,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_loop_sim3_cross(
+    cfg: SlamConfig,
+    m_b: ms.MapState,
+    m_a: ms.MapState,
+    slot_b: jax.Array,
+    slot_a: jax.Array,
+    key,
+) -> LoopSim3:
+    """Cross-MAP Sim3: keyframe ``slot_b`` of map B vs ``slot_a`` of map A
+    (the MultiMapper merge verification, MultiMapper.cc:209-316). Returns
+    S_ba mapping B-keyframe camera coords → A-keyframe camera coords."""
+    has_b = m_b.kf_feat_valid[slot_b] & (m_b.kf_obs_lm[slot_b] >= 0)
+    has_a = m_a.kf_feat_valid[slot_a] & (m_a.kf_obs_lm[slot_a] >= 0)
+    lm_b = jnp.maximum(m_b.kf_obs_lm[slot_b], 0)
+    lm_a = jnp.maximum(m_a.kf_obs_lm[slot_a], 0)
+    has_b &= m_b.lm_valid[lm_b]
+    has_a &= m_a.lm_valid[lm_a]
+    res = matching.match(
+        m_b.kf_desc[slot_b],
+        m_a.kf_desc[slot_a],
+        has_b,
+        has_a,
+        max_dist=float(cfg.matcher.th_low),
+        ratio=0.75,
+        mutual=True,
+        angles_a=m_b.kf_angle[slot_b],
+        angles_b=m_a.kf_angle[slot_a],
+    )
+    res = matching.resolve_duplicates(res, has_a.shape[0])
+    pb = geo.transform_points(m_b.kf_pose[slot_b], m_b.lm_pos[lm_b])
+    pa = geo.transform_points(m_a.kf_pose[slot_a], m_a.lm_pos[lm_a[res.idx]])
+    s3 = ransac.sim3_ransac(
+        pb, pa, res.ok, m_b.kf_K[slot_b], m_a.kf_K[slot_a], key,
+        min_inliers=cfg.loop.min_sim3_inliers,
+    )
+    enough_bow = res.ok.sum() >= cfg.loop.min_bow_matches
+    return LoopSim3(
+        success=s3.success & enough_bow,
+        S_ba=s3.S21,
+        n_inliers=s3.n_inliers,
+    )

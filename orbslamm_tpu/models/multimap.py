@@ -1,0 +1,268 @@
+"""Multi-map / multi-robot coordination (the ORBSLAMM MultiMapper).
+
+Reference semantics re-created (MultiMapper.cc, SURVEY.md §3.5):
+  * every robot tracks into its own active map; on tracking loss with an
+    established map the robot gets a BRAND-NEW map and keeps mapping
+    (Tracking.cc:330-366); a young map is reset instead (Tracking.cc:520);
+  * a global registry holds all live maps; after every keyframe the newest
+    keyframe is queried against every OTHER map's BoW database; a hit is
+    verified by a cross-map Sim3 (SearchByBoW → Sim3 RANSAC, ≥15 BoW
+    matches / ≥20 inliers — MultiMapper.cc:214,306);
+  * on success the maps are MERGED: here the newer map's keyframes and
+    landmarks are physically transformed by the Sim3 and appended into the
+    base map's pools (the array-pool equivalent of the reference's
+    attachment graph + UpdatePosesAndAdd, MultiMapper.cc:451-665), the
+    duplicate landmarks at the seam are fused, an essential-graph
+    optimization spans the merged map, and the robots that tracked the
+    absorbed map switch to the base map with transformed state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslamm_tpu.models import local_mapping as lm_stage
+from orbslamm_tpu.models import loop_closing as lc_stage
+from orbslamm_tpu.models import map_state as ms
+from orbslamm_tpu.models.system import MapContext, RobotTracker, TrackingState
+from orbslamm_tpu.ops import bow, geometry as geo
+from orbslamm_tpu.utils.config import SlamConfig
+
+
+class MergeResult(NamedTuple):
+    map: ms.MapState
+    lm_remap: jax.Array  # [L_B] int32 — B landmark id → merged slot (-1 dropped)
+    S_AB: jax.Array  # packed sim3: base-world ← absorbed-world
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def merge_maps(
+    cfg: SlamConfig,
+    mA: ms.MapState,
+    mB: ms.MapState,
+    S_cam_ab: jax.Array,  # sim3 mapping B-KF camera coords → A-KF camera coords
+    slot_b: jax.Array,
+    slot_a: jax.Array,
+    n_kf_A: jax.Array,
+) -> MergeResult:
+    """Append map B into map A's pools, Sim3-transformed into A's world."""
+    S_aw = geo.sim3_from_se3(mA.kf_pose[slot_a])
+    S_bw = geo.sim3_from_se3(mB.kf_pose[slot_b])
+    # x_wA = S_aw^-1 ∘ S_cam ∘ S_bw (x_wB)
+    S_AB = geo.sim3_compose(
+        geo.sim3_inv(S_aw), geo.sim3_compose(S_cam_ab, S_bw)
+    )
+    s_AB, R_AB, _ = geo.sim3_parts(S_AB)
+
+    # --- landmarks -------------------------------------------------------
+    LB = mB.lm_pos.shape[0]
+    slots = ms.free_lm_slots(mA, LB)  # LB candidate slots in A
+    use = mB.lm_valid & ~mA.lm_valid[slots]
+    lm_remap = jnp.where(use, slots, -1)
+    pos_A = geo.sim3_apply(S_AB, mB.lm_pos)
+    normal_A = jnp.einsum("ij,lj->li", R_AB, mB.lm_normal)
+    mA = ms.add_landmarks(
+        mA,
+        slots,
+        use,
+        pos_A,
+        mB.lm_desc,
+        normal_A,
+        mB.lm_dist_min * s_AB,
+        mB.lm_dist_max * s_AB,
+        0,
+    )
+    # landmark bookkeeping that add_landmarks defaults: ref/first KF ids and
+    # view counters carried over (shifted into the merged KF index space)
+    LA = mA.lm_pos.shape[0]
+    widx = jnp.where(use, slots, LA)
+    mA = mA._replace(
+        lm_ref_kf=mA.lm_ref_kf.at[widx].set(
+            (n_kf_A + mB.lm_ref_kf).astype(jnp.int32), mode="drop"
+        ),
+        lm_first_kf=mA.lm_first_kf.at[widx].set(
+            (n_kf_A + mB.lm_first_kf).astype(jnp.int32), mode="drop"
+        ),
+        lm_visible=mA.lm_visible.at[widx].set(mB.lm_visible, mode="drop"),
+        lm_found=mA.lm_found.at[widx].set(mB.lm_found, mode="drop"),
+    )
+
+    # --- keyframes: B slot k → A slot n_kf_A + k -------------------------
+    KB = mB.kf_pose.shape[0]
+    KA = mA.kf_pose.shape[0]
+    dest = jnp.where(mB.kf_valid, n_kf_A + jnp.arange(KB), KA)
+    S_inv = geo.sim3_inv(S_AB)
+    T_new = jax.vmap(
+        lambda T: geo.sim3_to_se3(
+            geo.sim3_compose(geo.sim3_from_se3(T), S_inv)
+        )
+    )(mB.kf_pose)
+    obs_new = jnp.where(
+        mB.kf_obs_lm >= 0, lm_remap[jnp.maximum(mB.kf_obs_lm, 0)], -1
+    )
+    mA = mA._replace(
+        kf_pose=mA.kf_pose.at[dest].set(T_new, mode="drop"),
+        kf_K=mA.kf_K.at[dest].set(mB.kf_K, mode="drop"),
+        kf_valid=mA.kf_valid.at[dest].set(mB.kf_valid, mode="drop"),
+        # SetNotFixed: absorbed origin keyframes lose their gauge-anchor
+        # status (MultiMapper.cc:527, Optimizer.cc:99)
+        kf_fixed=mA.kf_fixed.at[dest].set(False, mode="drop"),
+        kf_frame_id=mA.kf_frame_id.at[dest].set(mB.kf_frame_id, mode="drop"),
+        kf_timestamp=mA.kf_timestamp.at[dest].set(mB.kf_timestamp, mode="drop"),
+        kf_xy=mA.kf_xy.at[dest].set(mB.kf_xy, mode="drop"),
+        kf_desc=mA.kf_desc.at[dest].set(mB.kf_desc, mode="drop"),
+        kf_level=mA.kf_level.at[dest].set(mB.kf_level, mode="drop"),
+        kf_angle=mA.kf_angle.at[dest].set(mB.kf_angle, mode="drop"),
+        kf_feat_valid=mA.kf_feat_valid.at[dest].set(mB.kf_feat_valid, mode="drop"),
+        kf_obs_lm=mA.kf_obs_lm.at[dest].set(obs_new, mode="drop"),
+        n_kf=jnp.maximum(mA.n_kf, n_kf_A + mB.n_kf),
+    )
+    return MergeResult(map=mA, lm_remap=lm_remap, S_AB=S_AB)
+
+
+class MultiMapper:
+    """Global registry + merge scanner shared by all robots
+    (one instance per deployment, reference MultiMapper.cc:32)."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.maps: list[MapContext] = []
+        self.robots: list[RobotTracker] = []
+        self.voc: bow.Vocabulary | None = None
+        self._key = jax.random.key(1)
+        self.merges: list[tuple] = []
+
+    # -- registry ----------------------------------------------------------
+    def new_map(self) -> MapContext:
+        mc = MapContext(self.cfg, voc=self.voc)
+        self.maps.append(mc)
+        return mc
+
+    def add_robot(self, name: str = "") -> RobotTracker:
+        name = name or f"robot{len(self.robots)}"
+        t = RobotTracker(self.cfg, self.new_map(), name)
+        t.on_keyframe = self._on_keyframe
+        self.robots.append(t)
+        return t
+
+    def live_maps(self) -> list[MapContext]:
+        return [m for m in self.maps if m.merged_into is None]
+
+    # -- per-frame driver --------------------------------------------------
+    def process_frame(self, robot_idx: int, image, timestamp):
+        t = self.robots[robot_idx]
+        rec = t.process_frame(image, timestamp)
+        if t.state == TrackingState.LOST and self.cfg.multi_mapping:
+            if t.mapctx.n_kf >= self.cfg.tracking.min_kfs_for_new_map:
+                # keep the orphan map; continue mapping in a brand-new one
+                # (the ORBSLAMM signature, Tracking.cc:330-366)
+                t.switch_map(self.new_map())
+            else:
+                # early loss → reset the young map (Tracking.cc:520-528)
+                t.mapctx.map = ms.empty_map(self.cfg)
+                t.mapctx.n_kf = 0
+                if t.mapctx.kf_bow is not None:
+                    t.mapctx.kf_bow = jnp.zeros_like(t.mapctx.kf_bow)
+                t.switch_map(t.mapctx)
+        return rec
+
+    # -- keyframe hook: vocabulary + merge scan ----------------------------
+    def _on_keyframe(self, tracker: RobotTracker, slot: int):
+        if self.voc is None:
+            if tracker.mapctx.ensure_vocabulary():
+                self.voc = tracker.mapctx.voc
+                for mc in self.maps:
+                    if mc.voc is None:
+                        mc.voc = self.voc
+                        mc._alloc_bow()
+                        kv = np.asarray(mc.map.kf_valid)
+                        for s in np.nonzero(kv)[0]:
+                            mc.update_bow_row(int(s))
+            else:
+                return
+        self.try_merge(tracker, slot)
+
+    # -- merging -----------------------------------------------------------
+    def try_merge(self, tracker: RobotTracker, slot: int) -> bool:
+        cfg = self.cfg
+        mcB = tracker.mapctx
+        if mcB.n_kf < cfg.loop.min_kfs_for_merge or mcB.kf_bow is None:
+            return False
+        vB = mcB.kf_bow[slot]
+        for mcA in self.live_maps():
+            if mcA is mcB or mcA.kf_bow is None:
+                continue
+            if mcA.n_kf < cfg.loop.min_kfs_for_merge:
+                continue
+            if mcA.n_kf + mcB.n_kf >= cfg.capacity.max_keyframes:
+                continue  # merged map would overflow the pool
+            scores = np.asarray(
+                jnp.where(mcA.map.kf_valid, bow.bow_score(vB, mcA.kf_bow), -1.0)
+            )
+            cand = int(scores.argmax())
+            if scores[cand] < 0.015:
+                continue
+            self._key, sub = jax.random.split(self._key)
+            ls = lc_stage.compute_loop_sim3_cross(
+                cfg, mcB.map, mcA.map, jnp.int32(slot), jnp.int32(cand), sub
+            )
+            if not bool(ls.success):
+                continue
+            self._do_merge(mcA, mcB, ls.S_ba, slot, cand)
+            return True
+        return False
+
+    def _do_merge(self, mcA: MapContext, mcB: MapContext, S_cam, slot_b: int, slot_a: int):
+        cfg = self.cfg
+        nA = mcA.n_kf
+        res = merge_maps(
+            cfg, mcA.map, mcB.map, S_cam, jnp.int32(slot_b), jnp.int32(slot_a),
+            jnp.int32(nA),
+        )
+        mcA.map = res.map
+        merged_slot_b = nA + slot_b
+        mcA.n_kf = nA + mcB.n_kf
+        # BoW rows of the absorbed keyframes (appearance is unchanged)
+        mcA.kf_bow = jax.lax.dynamic_update_slice(
+            mcA.kf_bow, jax.lax.dynamic_slice(
+                mcB.kf_bow, (0, 0), (mcB.n_kf, mcB.kf_bow.shape[1])
+            ), (nA, 0)
+        )
+        # seam refinement: essential-graph optimization with the merge pair
+        # as the loop edge (MMOptimizeEssentialGraph, MultiMapper.cc:646)
+        mcA.map = lc_stage.correct_loop(
+            cfg, mcA.map, jnp.int32(merged_slot_b), jnp.int32(slot_a), S_cam
+        )
+        # fuse duplicate landmarks around the seam (SearchAndFuse, :668)
+        for s in (merged_slot_b, slot_a):
+            mcA.map = lm_stage.fuse_neighbors(cfg, mcA.map, jnp.int32(s))
+        mcA.map = lc_stage.global_bundle_adjust(cfg, mcA.map, iters=8)
+        # switch every robot that tracked B onto the merged map
+        for r in self.robots:
+            if r.mapctx is mcB:
+                r.adopt_merged_map(mcA, res.S_AB, res.lm_remap)
+        # transform B's recorded frame trajectory into A's world
+        S_inv = geo.sim3_inv(res.S_AB)
+        for r in self.robots:
+            for f in r.frames:
+                if f.map_id == mcB.map_id and f.state == "OK":
+                    S = geo.sim3_compose(
+                        geo.sim3_from_se3(jnp.asarray(f.T_cw)), S_inv
+                    )
+                    f.T_cw = np.asarray(geo.sim3_to_se3(S))
+                    f.map_id = mcA.map_id
+        mcB.merged_into = mcA
+        self.merges.append((mcB.map_id, mcA.map_id, slot_b, slot_a))
+
+    def summary(self) -> dict:
+        return {
+            "n_maps": len(self.live_maps()),
+            "n_robots": len(self.robots),
+            "merges": list(self.merges),
+            "maps": [m.summary() for m in self.live_maps()],
+        }

@@ -1,4 +1,4 @@
-"""Host-driven SLAM session (the reference's System + Tracking state machine).
+"""Host-driven SLAM sessions: maps, robot trackers, and the single-map facade.
 
 The reference runs tracking / local mapping / loop closing as free threads
 with queues and usleep polling (SURVEY.md §2.3); here the host sequences
@@ -6,15 +6,22 @@ jitted stages per frame — mapping work happens synchronously on keyframe
 insertion (stage scheduling replaces queue backpressure). The tracker state
 machine mirrors Tracking.h:92 {NO_IMAGES_YET, NOT_INITIALIZED, OK, LOST}.
 
-Multi-map behavior (new map on loss, ORBSLAMM's signature —
-Tracking.cc:330-366) lives in models/multimap.py; this module manages ONE
-map and reports LOST to its owner.
+Structure (mirrors the reference decomposition):
+  * MapContext   — one map + its keyframe BoW database + mapping stages
+                   (Map + KeyFrameDatabase + LocalMapping + LoopClosing)
+  * RobotTracker — one robot's frame-to-frame tracking state (Tracking),
+                   pointing at its active MapContext; on tracking loss the
+                   owner (models/multimap.MultiMapper) gives it a NEW map —
+                   ORBSLAMM's continuous-mapping behavior (Tracking.cc:330).
+  * MonocularSession — single-robot single-map facade (System analog) used
+                   by tests and simple pipelines.
 """
 
 from __future__ import annotations
 
 import enum
 import functools
+import zlib
 from dataclasses import dataclass, field
 
 import jax
@@ -63,7 +70,6 @@ def _create_initial_map(
 
     Mfeat = ref.valid.shape[0]
     slots = jnp.arange(Mfeat, dtype=jnp.int32)  # empty pool → slot i per feature i
-    # landmark attributes from the reference keyframe view
     d1 = jnp.linalg.norm(pts, axis=-1)
     normal = pts / jnp.maximum(d1[:, None], 1e-9)
     lvl = ref.level.astype(jnp.float32)
@@ -75,7 +81,6 @@ def _create_initial_map(
     m = ms.insert_keyframe(
         m, jnp.int32(0), jnp.eye(4), K, ref, obs_ref, frame_ref, ts_ref, fixed=True
     )
-    # current keyframe: feature match_idx[i] observes landmark i
     obs_cur = jnp.full((Mfeat,), -1, jnp.int32)
     tgt = jnp.where(init.inliers, match_idx, Mfeat)
     obs_cur = obs_cur.at[tgt].set(jnp.where(init.inliers, slots, -1), mode="drop")
@@ -90,26 +95,127 @@ class FrameRecord:
     T_cw: np.ndarray
     state: str
     n_inliers: int
+    map_id: int = 0
 
 
-@dataclass
-class MonocularSession:
-    """One robot's SLAM session over one map (System + Tracking analog)."""
+class MapContext:
+    """One map (Map + KeyFrameDatabase + mapping stages)."""
 
-    cfg: SlamConfig
-    name: str = "robot0"
-    state: TrackingState = TrackingState.NO_IMAGES_YET
-    frames: list = field(default_factory=list)
+    _next_id = 0
 
-    def __post_init__(self):
-        cfg = self.cfg
-        self.K = jnp.asarray(cfg.camera.K())
+    def __init__(self, cfg: SlamConfig, voc: bow.Vocabulary | None = None):
+        self.cfg = cfg
         self.map = ms.empty_map(cfg)
+        self.n_kf = 0
+        self.map_id = MapContext._next_id
+        MapContext._next_id += 1
+        self.voc = voc
+        self.kf_bow = None
+        if voc is not None:
+            self._alloc_bow()
+        self.last_loop_kf = -(10**9)
+        self.loops_closed: list = []
+        self.merged_into: "MapContext | None" = None
+
+    def _alloc_bow(self):
+        K_cap = self.map.kf_pose.shape[0]
+        self.kf_bow = jnp.zeros((K_cap, self.voc.n_words), jnp.float32)
+
+    # -- keyframe insertion + mapping stages ------------------------------
+    def insert_keyframe(self, T_cw, K, feats: Features, feat_lm, frame_id, timestamp):
+        slot = jnp.int32(self.n_kf)
+        self.map = ms.insert_keyframe(
+            self.map, slot, T_cw, K, feats, feat_lm, frame_id, timestamp
+        )
+        self.n_kf += 1
+        self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
+        self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
+        self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
+        self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
+        return int(slot)
+
+    # -- BoW database -----------------------------------------------------
+    def ensure_vocabulary(self) -> bool:
+        """Train the shared vocabulary from this map's descriptors if absent."""
+        if self.voc is not None:
+            return True
+        if self.n_kf < 4:
+            return False
+        kv = np.asarray(self.map.kf_valid)
+        descs = [
+            np.asarray(self.map.kf_desc[s])[np.asarray(self.map.kf_feat_valid[s])]
+            for s in np.nonzero(kv)[0]
+        ]
+        self.voc = bow.build_vocabulary(np.concatenate(descs), branching=8, depth=3, iters=6)
+        self._alloc_bow()
+        for s in np.nonzero(kv)[0]:
+            self.update_bow_row(int(s))
+        return True
+
+    def update_bow_row(self, slot: int):
+        if self.voc is None:
+            return
+        words = bow.assign_words(
+            self.voc, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
+        )
+        self.kf_bow = self.kf_bow.at[slot].set(bow.bow_vector(self.voc, words))
+
+    # -- same-map loop closing --------------------------------------------
+    def try_close_loop(self, slot: int, key) -> bool:
+        cfg = self.cfg
+        if (
+            self.voc is None
+            or self.n_kf < cfg.loop.min_kfs_for_merge
+            or slot - self.last_loop_kf < cfg.loop.kfs_between_loops
+        ):
+            return False
+        scores, allowed, min_score = lc_stage.loop_candidates(
+            cfg, self.map, self.kf_bow, jnp.int32(slot),
+            min_gap=cfg.loop.kfs_between_loops,
+        )
+        sc = np.asarray(jnp.where(allowed, scores, -1.0))
+        cand = int(sc.argmax())
+        if sc[cand] < max(float(min_score), 0.015):
+            return False
+        ls = lc_stage.compute_loop_sim3(
+            cfg, self.map, jnp.int32(slot), jnp.int32(cand), key
+        )
+        if not bool(ls.success):
+            return False
+        self.map = lc_stage.correct_loop(
+            cfg, self.map, jnp.int32(slot), jnp.int32(cand), ls.S_ba
+        )
+        self.map = lc_stage.global_bundle_adjust(cfg, self.map, iters=8)
+        self.last_loop_kf = slot
+        self.loops_closed.append((slot, cand, int(ls.n_inliers)))
+        return True
+
+    def summary(self) -> dict:
+        s = ms.as_numpy_summary(self.map)
+        s["map_id"] = self.map_id
+        return s
+
+
+class RobotTracker:
+    """Per-robot frame-to-frame tracking state (Tracking.cc analog)."""
+
+    def __init__(self, cfg: SlamConfig, mapctx: MapContext, name: str = "robot0"):
+        self.cfg = cfg
+        self.name = name
+        self.mapctx = mapctx
+        self.state = TrackingState.NO_IMAGES_YET
+        self.frames: list[FrameRecord] = []
+        self.K = jnp.asarray(cfg.camera.K())
         n2 = min(2 * cfg.orb.n_features, cfg.orb.max_keypoints)
         self.extract = orb_ops.make_extractor(cfg.orb, cfg.camera)
         self.extract_init = orb_ops.make_extractor(cfg.orb, cfg.camera, n_features=n2)
-        self._key = jax.random.key(0)
-        self._ref = None  # init reference Features
+        self._key = jax.random.key(zlib.crc32(name.encode()))
+        self._reset_tracking()
+        self.frame_id = -1
+        self.on_keyframe = None  # callback(tracker, slot) — MultiMapper hook
+
+    def _reset_tracking(self):
+        self._ref = None
         self._ref_meta = (0, 0.0)
         self.T_cw = jnp.eye(4)
         self.velocity = jnp.eye(4)
@@ -119,92 +225,26 @@ class MonocularSession:
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self.peak_inliers_since_kf = 0
-        self.frame_id = -1
-        self.n_kf = 0
-        # place recognition / loop closing
-        self.voc: bow.Vocabulary | None = None
-        self.kf_bow = None  # [K_cap, n_words]
-        self.last_loop_kf = -(10**9)
-        self.loops_closed: list = []
-        self.enable_loop_closing = True
 
-    # -- keyframe insertion + mapping stages ------------------------------
-    def _insert_keyframe(self, feats: Features, feat_lm, timestamp):
-        slot = jnp.int32(self.n_kf)
-        self.map = ms.insert_keyframe(
-            self.map, slot, self.T_cw, self.K, feats, feat_lm, self.frame_id, timestamp
-        )
-        self.n_kf += 1
-        self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
-        self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
-        self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
-        self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
-        self.frames_since_kf = 0
-        if self.enable_loop_closing:
-            self._update_bow(int(slot))
-            self._try_close_loop(int(slot))
+    def switch_map(self, mapctx: MapContext):
+        """ORBSLAMM SwitchMap: point the tracker at a (new or merged) map."""
+        self.mapctx = mapctx
+        self.state = TrackingState.NOT_INITIALIZED
+        self._reset_tracking()
 
-    # -- place recognition / loop closing ---------------------------------
-    def _update_bow(self, slot: int):
-        """Maintain the keyframe BoW database (KeyFrameDatabase::add analog).
-        The vocabulary is trained online from the first keyframes' descriptors
-        (the reference loads a pre-trained ORBvoc.txt instead)."""
-        if self.voc is None:
-            if self.n_kf < 4:
-                return
-            kv = np.asarray(self.map.kf_valid)
-            descs = []
-            for s in np.nonzero(kv)[0]:
-                fv = np.asarray(self.map.kf_feat_valid[s])
-                descs.append(np.asarray(self.map.kf_desc[s])[fv])
-            train = np.concatenate(descs)
-            self.voc = bow.build_vocabulary(train, branching=8, depth=3, iters=6)
-            K_cap = self.map.kf_pose.shape[0]
-            self.kf_bow = jnp.zeros((K_cap, self.voc.n_words), jnp.float32)
-            for s in np.nonzero(kv)[0]:
-                self._set_bow_row(int(s))
-        else:
-            self._set_bow_row(slot)
-
-    def _set_bow_row(self, slot: int):
-        words = bow.assign_words(
-            self.voc, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
-        )
-        self.kf_bow = self.kf_bow.at[slot].set(bow.bow_vector(self.voc, words))
-
-    def _try_close_loop(self, slot: int):
-        cfg = self.cfg
-        if (
-            self.voc is None
-            or self.n_kf < cfg.loop.min_kfs_for_merge
-            or slot - self.last_loop_kf < cfg.loop.kfs_between_loops
-        ):
-            return
-        scores, allowed, min_score = lc_stage.loop_candidates(
-            cfg, self.map, self.kf_bow, jnp.int32(slot), min_gap=cfg.loop.kfs_between_loops
-        )
-        sc = np.asarray(jnp.where(allowed, scores, -1.0))
-        cand = int(sc.argmax())
-        floor = max(float(min_score), 0.015)
-        if sc[cand] < floor:
-            return
-        self._key, sub = jax.random.split(self._key)
-        ls = lc_stage.compute_loop_sim3(
-            cfg, self.map, jnp.int32(slot), jnp.int32(cand), sub
-        )
-        if not bool(ls.success):
-            return
-        self.map = lc_stage.correct_loop(
-            cfg, self.map, jnp.int32(slot), jnp.int32(cand), ls.S_ba
-        )
-        self.map = lc_stage.global_bundle_adjust(cfg, self.map, iters=8)
-        # tracking state is stale after the correction
-        self.T_cw = self.map.kf_pose[slot]
+    def adopt_merged_map(self, mapctx: MapContext, S_new_from_old: jax.Array, lm_remap):
+        """After this robot's map was merged into ``mapctx``: keep tracking,
+        with pose/associations transformed into the merged frame."""
+        self.mapctx = mapctx
+        S = geo.sim3_compose(geo.sim3_from_se3(self.T_cw), geo.sim3_inv(S_new_from_old))
+        self.T_cw = geo.sim3_to_se3(S)
         self.last_T = self.T_cw
         self.velocity = jnp.eye(4)
-        self.last_loop_kf = slot
-        self.loops_closed.append((slot, cand, int(ls.n_inliers)))
+        if self.last_lm is not None:
+            safe = jnp.maximum(self.last_lm, 0)
+            self.last_lm = jnp.where(self.last_lm >= 0, lm_remap[safe], -1)
 
+    # -- initialization ----------------------------------------------------
     def _try_initialize(self, feats: Features, timestamp: float):
         cfg = self.cfg
         if self._ref is None:
@@ -214,53 +254,62 @@ class MonocularSession:
         res = trk.match_for_init(cfg, self._ref, feats)
         n = int(res.ok.sum())
         if n < cfg.tracking.min_matches_init:
-            self._ref = feats  # too few matches → restart from this frame
-            self._ref_meta = (self.frame_id, timestamp)
+            # drop the reference only when matching has clearly broken down —
+            # momentary dips must not reset the parallax accumulation
+            if n < int(0.6 * cfg.tracking.min_matches_init):
+                self._ref = feats
+                self._ref_meta = (self.frame_id, timestamp)
             return
         self._key, sub = jax.random.split(self._key)
         xy_cur = jnp.take(feats.xy, res.idx, axis=0)
+        import math
         init = ransac.two_view_init(
-            self._ref.xy, xy_cur, res.ok, self.K, sub, sigma=1.5
+            self._ref.xy, xy_cur, res.ok, self.K, sub, n_hyp=512, sigma=1.5,
+            min_inliers=cfg.tracking.init_min_triangulated,
+            median_parallax_cos=math.cos(
+                math.radians(cfg.tracking.init_min_parallax_deg)
+            ),
         )
         if not bool(init.success):
-            return  # keep reference, wait for more parallax
-        self.map = _create_initial_map(
-            cfg, self.map, self._ref, feats, res.idx, init, self.K,
+            return
+        mc = self.mapctx
+        mc.map = _create_initial_map(
+            cfg, mc.map, self._ref, feats, res.idx, init, self.K,
             self._ref_meta[0], self.frame_id, self._ref_meta[1], timestamp,
         )
-        self.n_kf = 2
-        # refine with a BA over the two views (Tracking.cc:736 GBA(20))
-        self.map = lm_stage.local_bundle_adjustment(
-            self.cfg, self.map, jnp.int32(1), window=2, iters=20
-        )
-        self.T_cw = self.map.kf_pose[1]
+        mc.n_kf = 2
+        mc.map = lm_stage.local_bundle_adjustment(cfg, mc.map, jnp.int32(1), window=2, iters=20)
+        self.T_cw = mc.map.kf_pose[1]
         self.last_T = self.T_cw
         self.velocity = jnp.eye(4)
         self.last_feats = feats
-        # associations of the current frame = obs row of KF1
-        self.last_lm = self.map.kf_obs_lm[1]
+        self.last_lm = mc.map.kf_obs_lm[1]
         self.last_kf_inliers = int(init.n_inliers)
+        self.peak_inliers_since_kf = int(init.n_inliers)
         self.state = TrackingState.OK
         self.frames_since_kf = 0
+        for s in (0, 1):
+            self.mapctx.update_bow_row(s)
 
+    # -- tracking ----------------------------------------------------------
     def _track(self, feats: Features, timestamp: float) -> int:
         cfg = self.cfg
+        mc = self.mapctx
         T_pred = self.velocity @ self.last_T
         r1 = trk.track_motion_model(
-            cfg, self.map, feats, T_pred, self.K, self.last_feats, self.last_lm,
+            cfg, mc.map, feats, T_pred, self.K, self.last_feats, self.last_lm,
             T_last=self.last_T,
         )
         n1 = int(r1.n_inliers)
         T = r1.T_cw
         feat_lm = r1.feat_lm
         if n1 < cfg.tracking.min_inliers_track:
-            # fallback: match straight against the map from the last pose
             T = self.last_T
             feat_lm = jnp.full_like(r1.feat_lm, -1)
-        r2, self.map = trk.track_local_map(cfg, self.map, feats, T, self.K, feat_lm)
+        r2, mc.map = trk.track_local_map(cfg, mc.map, feats, T, self.K, feat_lm)
         n2 = int(r2.n_inliers)
         if n2 < cfg.tracking.min_inliers_local_map:
-            return n2  # caller transitions to LOST
+            return n2
         self.T_cw = r2.T_cw
         self.velocity = self.T_cw @ geo.T_inv(self.last_T)
         self.last_T = self.T_cw
@@ -268,24 +317,32 @@ class MonocularSession:
         self.last_lm = r2.feat_lm
         self.frames_since_kf += 1
 
-        # keyframe decision (NeedNewKeyFrame, Tracking.cc:1027). The tracked
-        # reference count is the PEAK inlier count since the last keyframe —
-        # the analog of the reference KF's TrackedMapPoints — so decay from a
-        # healthy level triggers insertion even if the insertion-time count
-        # was low.
+        # keyframe decision: reference NeedNewKeyFrame with the PEAK inlier
+        # count since last KF as the tracked-reference baseline
         self.peak_inliers_since_kf = max(self.peak_inliers_since_kf, n2)
         need = self.frames_since_kf >= cfg.tracking.new_kf_max_frames or (
             self.frames_since_kf >= 1
             and n2 > 15
             and n2 < cfg.tracking.new_kf_tracked_ratio * self.peak_inliers_since_kf
         )
-        if need and self.n_kf < cfg.capacity.max_keyframes - 1:
-            self._insert_keyframe(feats, r2.feat_lm, timestamp)
+        if need and mc.n_kf < cfg.capacity.max_keyframes - 1:
+            slot = mc.insert_keyframe(
+                self.T_cw, self.K, feats, r2.feat_lm, self.frame_id, timestamp
+            )
             self.last_kf_inliers = n2
             self.peak_inliers_since_kf = n2
+            self.frames_since_kf = 0
+            mc.update_bow_row(slot)
+            self._key, sub = jax.random.split(self._key)
+            if mc.try_close_loop(slot, sub):
+                self.T_cw = mc.map.kf_pose[slot]
+                self.last_T = self.T_cw
+                self.velocity = jnp.eye(4)
+            if self.on_keyframe is not None:
+                self.on_keyframe(self, slot)
         return n2
 
-    # -- public API -------------------------------------------------------
+    # -- public API --------------------------------------------------------
     def process_frame(self, image: np.ndarray, timestamp: float) -> FrameRecord:
         self.frame_id += 1
         img = jnp.asarray(image)
@@ -305,29 +362,77 @@ class MonocularSession:
             T_cw=np.asarray(self.T_cw),
             state=self.state.name,
             n_inliers=n_inl,
+            map_id=self.mapctx.map_id,
         )
         self.frames.append(rec)
         return rec
 
-    # -- outputs ----------------------------------------------------------
+
+@dataclass
+class MonocularSession:
+    """Single-robot single-map facade (System analog). Kept API-compatible
+    with earlier milestones; multi-map behavior lives in models/multimap.py."""
+
+    cfg: SlamConfig
+    name: str = "robot0"
+
+    def __post_init__(self):
+        self.mapctx = MapContext(self.cfg)
+        self.tracker = RobotTracker(self.cfg, self.mapctx, self.name)
+        self.enable_loop_closing = True
+
+    # -- passthroughs ------------------------------------------------------
+    @property
+    def map(self):
+        return self.tracker.mapctx.map
+
+    @property
+    def n_kf(self):
+        return self.tracker.mapctx.n_kf
+
+    @property
+    def state(self):
+        return self.tracker.state
+
+    @property
+    def frames(self):
+        return self.tracker.frames
+
+    @property
+    def loops_closed(self):
+        return self.tracker.mapctx.loops_closed
+
+    @property
+    def T_cw(self):
+        return self.tracker.T_cw
+
+    def process_frame(self, image, timestamp):
+        mc = self.tracker.mapctx
+        if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
+            mc.ensure_vocabulary()
+        if not self.enable_loop_closing:
+            mc.try_close_loop = lambda slot, key: False
+        return self.tracker.process_frame(image, timestamp)
+
     def keyframe_trajectory(self):
-        """(timestamps, T_cw [N,4,4]) of valid keyframes (the BA-refined
-        poses — SaveKeyFrameTrajectoryTUM analog)."""
-        valid = np.asarray(self.map.kf_valid)
-        poses = np.asarray(self.map.kf_pose)[valid]
-        stamps = np.asarray(self.map.kf_timestamp)[valid]
-        order = np.argsort(np.asarray(self.map.kf_frame_id)[valid])
+        m = self.map
+        valid = np.asarray(m.kf_valid)
+        poses = np.asarray(m.kf_pose)[valid]
+        stamps = np.asarray(m.kf_timestamp)[valid]
+        order = np.argsort(np.asarray(m.kf_frame_id)[valid])
         return stamps[order], poses[order]
 
     def frame_trajectory(self):
         stamps = np.array([f.timestamp for f in self.frames if f.state == "OK"])
-        poses = np.stack(
-            [f.T_cw for f in self.frames if f.state == "OK"]
-        ) if stamps.size else np.zeros((0, 4, 4))
+        poses = (
+            np.stack([f.T_cw for f in self.frames if f.state == "OK"])
+            if stamps.size
+            else np.zeros((0, 4, 4))
+        )
         return stamps, poses
 
     def summary(self) -> dict:
-        s = ms.as_numpy_summary(self.map)
-        s["state"] = self.state.name
+        s = self.tracker.mapctx.summary()
+        s["state"] = self.tracker.state.name
         s["frames"] = len(self.frames)
         return s

@@ -123,7 +123,8 @@ def two_view_init(
     key: jax.Array,
     n_hyp: int = 256,
     sigma: float = 1.0,
-    min_parallax_cos: float = 0.99995,  # ~0.57 deg
+    min_parallax_cos: float = 0.99995,  # per-point gate, ~0.57 deg
+    median_parallax_cos: float = 0.99985,  # median-of-inliers gate, 1 deg
     min_inliers: int = 50,
     min_ratio: float = 0.5,
 ) -> InitResult:
@@ -199,10 +200,24 @@ def two_view_init(
     n_F = inl_F.sum()
     # reference ReconstructF-style ambiguity check: winner must dominate
     second = jnp.sort(counts)[-2]
+    # parallax quality gate (ReconstructF/CheckRT: the ~50th-best parallax
+    # must exceed 1 degree) — rejects low-baseline inits whose depths are
+    # unconstrained even when reprojection checks pass
+    C2b = -R.T @ t
+    cosp_all = jnp.sum((X) * (X - C2b), -1) / jnp.maximum(
+        jnp.linalg.norm(X, axis=-1) * jnp.linalg.norm(X - C2b, axis=-1), 1e-9
+    )
+    cos_sorted = jnp.sort(jnp.where(good, cosp_all, 1.0))  # high parallax first
+    # the reference indexes the 50th point assuming hundreds of inliers; for
+    # smaller sets use the median so the gate tests typical (not worst-tail)
+    # parallax
+    kth = jnp.minimum(50, jnp.maximum(n_best // 2, 0))
+    parallax_ok = cos_sorted[kth] < median_parallax_cos
     success = (
         (n_best >= min_inliers)
         & (n_best.astype(jnp.float32) >= min_ratio * n_F.astype(jnp.float32))
         & (second.astype(jnp.float32) < 0.75 * n_best.astype(jnp.float32))
+        & parallax_ok
     )
     T21 = geo.rt_to_T(R, t)
     return InitResult(

@@ -78,6 +78,9 @@ class TrackingConfig:
     """Front-end thresholds (reference Tracking.cc)."""
 
     min_matches_init: int = 100  # SearchForInitialization acceptance (Tracking.cc:640)
+    init_min_triangulated: int = 50  # ReconstructF minTriangulated; scale with
+    # the feature budget (reference assumes a 2N=2000-feature init extractor)
+    init_min_parallax_deg: float = 1.0  # ReconstructF minParallax
     min_inliers_track: int = 10  # post-PoseOptimization survival (Tracking.cc:905)
     min_matches_motion: int = 20  # TrackWithMotionModel acceptance (Tracking.cc:960)
     min_inliers_local_map: int = 30  # TrackLocalMap acceptance (Tracking.cc:1015)

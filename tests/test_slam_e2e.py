@@ -24,7 +24,7 @@ CFG = SlamConfig(
     camera=CAM,
     orb=OrbConfig(n_features=400, max_keypoints=1024, n_levels=4),
     capacity=CapacityConfig(max_keyframes=64, max_landmarks=4096),
-    tracking=TrackingConfig(pixel_noise=1.2),
+    tracking=TrackingConfig(pixel_noise=1.2, min_matches_init=55, init_min_triangulated=30, init_min_parallax_deg=0.4),
 )
 
 
@@ -69,7 +69,7 @@ def test_vo_strafe_motion():
 def test_trajectory_output_formats(tmp_path):
     from orbslamm_tpu.io import trajectory as tio
 
-    seq = make_sequence(n_frames=30, n_points=900, cam=CAM, seed=3, motion="forward")
+    seq = make_sequence(n_frames=45, n_points=900, cam=CAM, seed=7, motion="forward")
     sess, _ = run_session(seq)
     ts, est = sess.frame_trajectory()
     tio.save_tum(tmp_path / "f.txt", ts, est)
