@@ -1,0 +1,131 @@
+"""Shared example-driver machinery (the reference Examples/Monocular drivers).
+
+Replicates the reference driver behavior (mono_tum.cc / mono_kitti.cc /
+mono_kitti_dif-Seq.cc, SURVEY.md §2.4): pump one or more image sequences
+through robots sharing a MultiMapper, report per-frame tracking timing
+(median/mean, mono_kitti_dif-Seq.cc:213-221), and save TUM/KITTI trajectories
+plus the map set.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from orbslamm_tpu.models.multimap import MultiMapper
+from orbslamm_tpu.io import trajectory as tio
+from orbslamm_tpu.utils.config import SlamConfig
+
+
+@dataclass
+class RobotFeed:
+    """One robot's image stream: any iterable of (timestamp, image)."""
+
+    frames: object  # iterable of (float, np.ndarray) or ImageSequence
+    name: str = ""
+
+
+@dataclass
+class RunReport:
+    track_times: dict = field(default_factory=dict)  # name -> [s]
+    states: dict = field(default_factory=dict)
+
+    def timing_summary(self) -> dict:
+        out = {}
+        for name, ts in self.track_times.items():
+            if ts:
+                arr = np.asarray(ts[3:] or ts)  # skip compile-dominated frames
+                out[name] = {
+                    "median_s": float(np.median(arr)),
+                    "mean_s": float(np.mean(arr)),
+                    "fps": float(1.0 / max(np.median(arr), 1e-9)),
+                }
+        return out
+
+
+def run_robots(
+    cfg: SlamConfig,
+    feeds: list[RobotFeed],
+    out_dir: str | Path | None = None,
+    pace_real_time: bool = False,
+    verbose: bool = True,
+) -> tuple[MultiMapper, RunReport]:
+    """Run all feeds round-robin through a shared MultiMapper (the reference
+    runs one thread per robot; interleaving frames reproduces concurrency).
+    """
+    mm = MultiMapper(cfg)
+    iters = []
+    for i, feed in enumerate(feeds):
+        name = feed.name or f"robot{i}"
+        mm.add_robot(name)
+        iters.append((name, iter(feed.frames)))
+
+    report = RunReport()
+    for name, _ in iters:
+        report.track_times[name] = []
+        report.states[name] = []
+
+    live = list(range(len(iters)))
+    frame_no = 0
+    while live:
+        for idx in list(live):
+            name, it = iters[idx]
+            try:
+                ts, img = next(it)
+            except StopIteration:
+                live.remove(idx)
+                continue
+            t0 = time.perf_counter()
+            rec = mm.process_frame(idx, img, float(ts))
+            dt = time.perf_counter() - t0
+            report.track_times[name].append(dt)
+            report.states[name].append(rec.state)
+            if pace_real_time and cfg.camera.fps > 0:
+                sleep = 1.0 / cfg.camera.fps - dt
+                if sleep > 0:
+                    time.sleep(sleep)
+        frame_no += 1
+        if verbose and frame_no % 30 == 0:
+            print(f"[driver] frame {frame_no}: {mm.summary()}")
+
+    if out_dir is not None:
+        save_outputs(mm, out_dir)
+    if verbose:
+        for name, s in report.timing_summary().items():
+            print(
+                f"[driver] {name}: median track {s['median_s']*1e3:.1f} ms, "
+                f"mean {s['mean_s']*1e3:.1f} ms ({s['fps']:.1f} fps)"
+            )
+        print(f"[driver] final: {mm.summary()}")
+    return mm, report
+
+
+def save_outputs(mm: MultiMapper, out_dir: str | Path) -> None:
+    """Trajectories (TUM + KITTI formats, per robot), maps, and a rendering —
+    the reference's SaveTrajectory* + SaveMultipleMapsTrajectories analog."""
+    from orbslamm_tpu.io import serialize, viz
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for r in mm.robots:
+        ok = [f for f in r.frames if f.state == "OK"]
+        if ok:
+            stamps = np.asarray([f.timestamp for f in ok])
+            poses = np.stack([f.T_cw for f in ok])
+            tio.save_tum(out / f"{r.name}_frames_tum.txt", stamps, poses)
+            tio.save_kitti(out / f"{r.name}_frames_kitti.txt", poses)
+    for mc in mm.live_maps():
+        kv = np.asarray(mc.map.kf_valid)
+        if kv.sum():
+            poses = np.asarray(mc.map.kf_pose)[kv]
+            stamps = np.asarray(mc.map.kf_timestamp)[kv]
+            order = np.argsort(stamps)
+            tio.save_tum(
+                out / f"map{mc.map_id}_keyframes_tum.txt", stamps[order], poses[order]
+            )
+            viz.draw_map(mc.map, out / f"map{mc.map_id}.png",
+                         title=f"map {mc.map_id}")
+    serialize.save_session(out / "maps", mm)

@@ -342,3 +342,47 @@ def fuse_neighbors(
     # symmetric: project ALL map landmarks into the new keyframe
     m = _fuse_into_kf(cfg, m, kf_slot, jnp.ones((L,), bool))
     return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_check"))
+def cull_keyframes(
+    cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_check: int = 6
+) -> ms.MapState:
+    """KeyFrameCulling (LocalMapping.cc:632): invalidate covisible keyframes
+    whose landmarks are ≥90% observed by at least 3 other keyframes. The
+    origin (fixed) and newest keyframes are never culled; ORBSLAMM also
+    protects each map's first keyframe (mbOtherMapFirst, KeyFrame.h:109)."""
+    W = ms.covisibility(m)
+    obs_count = ms.lm_obs_count(m)
+    row = jnp.where(
+        m.kf_valid & (jnp.arange(W.shape[0]) != kf_slot), W[kf_slot], -1
+    )
+    _, cands = jax.lax.top_k(row, n_check)
+
+    def redundancy(slot):
+        obs = m.kf_obs_lm[slot]
+        has = m.kf_feat_valid[slot] & (obs >= 0)
+        lm = jnp.maximum(obs, 0)
+        has &= m.lm_valid[lm]
+        redundant = has & (obs_count[lm] >= 4)  # seen by >= 3 OTHER keyframes
+        total = jnp.maximum(has.sum(), 1)
+        return redundant.sum().astype(jnp.float32) / total.astype(jnp.float32), has.sum()
+
+    kf_valid = m.kf_valid
+    for i in range(n_check):
+        slot = cands[i]
+        ratio, n_obs = redundancy(slot)
+        cull = (
+            (row[cands[i]] > 0)
+            & kf_valid[slot]
+            & ~m.kf_fixed[slot]
+            & (slot != kf_slot)
+            & (slot != 0)
+            & (ratio > cfg.mapping.kf_culling_redundancy)
+            & (n_obs > 20)
+        )
+        kf_valid = kf_valid.at[slot].set(jnp.where(cull, False, kf_valid[slot]))
+    m = m._replace(kf_valid=kf_valid)
+    # culled keyframes' observations no longer count
+    dangling = ~kf_valid[:, None] & (m.kf_obs_lm >= 0)
+    return m._replace(kf_obs_lm=jnp.where(dangling, -1, m.kf_obs_lm))

@@ -265,3 +265,54 @@ def compute_loop_sim3_cross(
         S_ba=s3.S21,
         n_inliers=s3.n_inliers,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def relocalization_candidates(
+    cfg: SlamConfig, m: ms.MapState, kf_bow: jax.Array, v: jax.Array
+):
+    """Scores+mask for relocalizing a lost frame against the keyframe
+    database (KeyFrameDatabase::DetectRelocalizationCandidates analog)."""
+    scores = bow.bow_score(v, kf_bow)
+    return jnp.where(m.kf_valid, scores, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def relocalize_against_kf(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    feats,
+    K: jax.Array,
+    cand: jax.Array,
+    key,
+):
+    """PnP relocalization of a frame against keyframe ``cand``
+    (Tracking::Relocalization, Tracking.cc:1404: SearchByBoW → EPnP RANSAC →
+    PoseOptimization). Returns (success, T_cw, feat_lm, n_inliers)."""
+    has = m.kf_feat_valid[cand] & (m.kf_obs_lm[cand] >= 0)
+    lm = jnp.maximum(m.kf_obs_lm[cand], 0)
+    has &= m.lm_valid[lm]
+    res = matching.match(
+        feats.desc,
+        m.kf_desc[cand],
+        feats.valid,
+        has,
+        max_dist=float(cfg.matcher.th_low),
+        ratio=0.75,
+        mutual=True,
+        angles_a=feats.angle,
+        angles_b=m.kf_angle[cand],
+    )
+    res = matching.resolve_duplicates(res, has.shape[0])
+    feat_lm = jnp.where(res.ok, lm[res.idx], -1)
+    use = feat_lm >= 0
+    pts = m.lm_pos[jnp.maximum(feat_lm, 0)]
+    pnp = ransac.pnp_ransac(pts, feats.xy, use, K, key, min_inliers=10)
+    sigma2 = (
+        cfg.tracking.pixel_noise
+        * cfg.orb.scale_factor ** feats.level.astype(jnp.float32)
+    ) ** 2
+    opt = ba.pose_optimize(pnp.T_cw, K, pts, feats.xy, use & pnp.inliers, sigma2=sigma2)
+    feat_lm = jnp.where(opt.inliers, feat_lm, -1)
+    success = pnp.success & (opt.n_inliers >= 30)
+    return success, opt.T_cw, feat_lm, opt.n_inliers

@@ -132,6 +132,7 @@ class MapContext:
         self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
         self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
         self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
+        self.map = lm_stage.cull_keyframes(self.cfg, self.map, slot)
         return int(slot)
 
     # -- BoW database -----------------------------------------------------
@@ -342,6 +343,34 @@ class RobotTracker:
                 self.on_keyframe(self, slot)
         return n2
 
+    def _try_relocalize(self, feats: Features) -> int:
+        mc = self.mapctx
+        if mc.voc is None or mc.kf_bow is None:
+            return 0
+        words = bow.assign_words(mc.voc, feats.desc, feats.valid)
+        v = bow.bow_vector(mc.voc, words)
+        scores = np.asarray(
+            lc_stage.relocalization_candidates(self.cfg, mc.map, mc.kf_bow, v)
+        )
+        for cand in np.argsort(scores)[::-1][:3]:
+            if scores[cand] <= 0.01:
+                break
+            self._key, sub = jax.random.split(self._key)
+            ok, T, feat_lm, n = lc_stage.relocalize_against_kf(
+                self.cfg, mc.map, feats, self.K, jnp.int32(int(cand)), sub
+            )
+            if bool(ok):
+                self.T_cw = T
+                self.last_T = T
+                self.velocity = jnp.eye(4)
+                self.last_feats = feats
+                self.last_lm = feat_lm
+                self.state = TrackingState.OK
+                self.frames_since_kf = 0
+                self.peak_inliers_since_kf = int(n)
+                return int(n)
+        return 0
+
     # -- public API --------------------------------------------------------
     def process_frame(self, image: np.ndarray, timestamp: float) -> FrameRecord:
         self.frame_id += 1
@@ -356,6 +385,12 @@ class RobotTracker:
             n_inl = self._track(feats, timestamp)
             if n_inl < self.cfg.tracking.min_inliers_local_map:
                 self.state = TrackingState.LOST
+        elif self.state == TrackingState.LOST and not self.cfg.multi_mapping:
+            # single-map mode: relocalize against the keyframe database
+            # (Tracking::Relocalization — with multi-mapping ON the owner
+            # spawns a new map instead, Tracking.cc:330-366)
+            feats = self.extract(img)
+            n_inl = self._try_relocalize(feats)
         rec = FrameRecord(
             frame_id=self.frame_id,
             timestamp=timestamp,
