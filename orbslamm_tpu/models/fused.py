@@ -1,0 +1,132 @@
+"""Fused per-frame step: the whole tracking+mapping frame in ONE jitted call.
+
+The host-sequenced stage functions (tracking.py / local_mapping.py) are
+correct but cost one device dispatch each plus host syncs for the control
+decisions — fatal for real-time when the host↔device link has latency. This
+module composes the SAME stage logic into a single jitted program:
+
+    extract → motion-model track → local-map track → keyframe decision
+    (on device) → lax.cond(mapping stages) → updated state + scalar summary
+
+One dispatch in, one small summary pull out, per frame. Keyframe-rate events
+(BoW update, loop closing, merging) remain host-driven off the ``new_kf``
+flag in the summary — they are rare and control-flow heavy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslamm_tpu.models import local_mapping as lm_stage
+from orbslamm_tpu.models import map_state as ms
+from orbslamm_tpu.models import tracking as trk
+from orbslamm_tpu.ops import geometry as geo
+from orbslamm_tpu.ops.orb import Features
+from orbslamm_tpu.utils.config import SlamConfig
+
+
+class TrackState(NamedTuple):
+    """Device-resident tracking state (the RobotTracker hot fields)."""
+
+    T_cw: jax.Array  # [4,4]
+    velocity: jax.Array  # [4,4]
+    last_T: jax.Array  # [4,4]
+    last_feats: Features
+    last_lm: jax.Array  # [M]
+    frames_since_kf: jax.Array  # i32
+    peak_inliers: jax.Array  # i32
+    n_kf: jax.Array  # i32 — next keyframe slot
+
+
+class FrameSummary(NamedTuple):
+    T_cw: jax.Array  # [4,4]
+    n_inliers: jax.Array  # i32
+    tracking_ok: jax.Array  # bool
+    new_kf: jax.Array  # bool
+    kf_slot: jax.Array  # i32 (valid when new_kf)
+
+
+def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
+    """Build the fused jitted step.
+
+    extract_fn: the jitted single-image ORB extractor (inlined at trace).
+    Returns step(m, ts, image, frame_id, timestamp) -> (m, ts, FrameSummary).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp):
+        feats = extract_fn(image)
+        T_pred = ts.velocity @ ts.last_T
+        r1 = trk.track_motion_model(
+            cfg, m, feats, T_pred, K, ts.last_feats, ts.last_lm, T_last=ts.last_T
+        )
+        # fallback: too few motion inliers → retry local map from last pose
+        weak = r1.n_inliers < cfg.tracking.min_inliers_track
+        T_start = jnp.where(weak, ts.last_T, r1.T_cw)
+        feat_lm0 = jnp.where(weak, jnp.full_like(r1.feat_lm, -1), r1.feat_lm)
+        r2, m = trk.track_local_map(cfg, m, feats, T_start, K, feat_lm0)
+        ok = r2.n_inliers >= cfg.tracking.min_inliers_local_map
+
+        peak = jnp.maximum(ts.peak_inliers, r2.n_inliers)
+        fsk = ts.frames_since_kf + 1
+        need_kf = ok & (
+            (fsk >= cfg.tracking.new_kf_max_frames)
+            | (
+                (fsk >= 1)
+                & (r2.n_inliers > 15)
+                & (
+                    r2.n_inliers.astype(jnp.float32)
+                    < cfg.tracking.new_kf_tracked_ratio * peak.astype(jnp.float32)
+                )
+            )
+        )
+        need_kf &= ts.n_kf < cfg.capacity.max_keyframes - 1
+        slot = ts.n_kf
+
+        def insert(operand):
+            m_in, feats_in, feat_lm_in = operand
+            m2 = ms.insert_keyframe(
+                m_in, slot, r2.T_cw, K, feats_in, feat_lm_in, frame_id, timestamp
+            )
+            m2 = lm_stage.triangulate_new_landmarks(cfg, m2, slot)
+            m2 = lm_stage.fuse_neighbors(cfg, m2, slot)
+            m2 = lm_stage.local_bundle_adjustment(cfg, m2, slot)
+            m2 = lm_stage.cull_landmarks(cfg, m2, slot)
+            m2 = lm_stage.cull_keyframes(cfg, m2, slot)
+            return m2
+
+        m = jax.lax.cond(need_kf, insert, lambda o: o[0], (m, feats, r2.feat_lm))
+
+        # state update (frozen when tracking failed — host decides LOST)
+        T_new = r2.T_cw
+        vel = T_new @ geo.T_inv(ts.last_T)
+        ts_next = TrackState(
+            T_cw=jnp.where(ok, T_new, ts.T_cw),
+            velocity=jnp.where(ok, vel, ts.velocity),
+            last_T=jnp.where(ok, T_new, ts.last_T),
+            last_feats=jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(ok, (1,) * new.ndim), new, old
+                ),
+                feats,
+                ts.last_feats,
+            ),
+            last_lm=jnp.where(ok, r2.feat_lm, ts.last_lm),
+            frames_since_kf=jnp.where(need_kf, 0, jnp.where(ok, fsk, ts.frames_since_kf)),
+            peak_inliers=jnp.where(need_kf, r2.n_inliers, jnp.where(ok, peak, ts.peak_inliers)),
+            n_kf=jnp.where(need_kf, ts.n_kf + 1, ts.n_kf),
+        )
+        summary = FrameSummary(
+            T_cw=T_new,
+            n_inliers=r2.n_inliers,
+            tracking_ok=ok,
+            new_kf=need_kf,
+            kf_slot=slot,
+        )
+        return m, ts_next, summary
+
+    return step

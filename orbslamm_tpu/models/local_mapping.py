@@ -364,7 +364,10 @@ def cull_keyframes(
         has = m.kf_feat_valid[slot] & (obs >= 0)
         lm = jnp.maximum(obs, 0)
         has &= m.lm_valid[lm]
-        redundant = has & (obs_count[lm] >= 4)  # seen by >= 3 OTHER keyframes
+        redundant = has & (obs_count[lm] >= 5)  # seen by >= 4 OTHER keyframes
+        # (stricter than the reference's 3: our fuse step raises obs counts
+        # aggressively, and we lack the same-or-finer-scale filter — without
+        # this margin culling removes load-bearing keyframes)
         total = jnp.maximum(has.sum(), 1)
         return redundant.sum().astype(jnp.float32) / total.astype(jnp.float32), has.sum()
 
@@ -379,7 +382,7 @@ def cull_keyframes(
             & (slot != kf_slot)
             & (slot != 0)
             & (ratio > cfg.mapping.kf_culling_redundancy)
-            & (n_obs > 20)
+            & (n_obs > 40)
         )
         kf_valid = kf_valid.at[slot].set(jnp.where(cull, False, kf_valid[slot]))
     m = m._replace(kf_valid=kf_valid)

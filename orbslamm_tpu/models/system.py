@@ -32,6 +32,7 @@ from orbslamm_tpu.models import local_mapping as lm_stage
 from orbslamm_tpu.models import loop_closing as lc_stage
 from orbslamm_tpu.models import map_state as ms
 from orbslamm_tpu.models import tracking as trk
+from orbslamm_tpu.models import fused
 from orbslamm_tpu.ops import bow, geometry as geo, orb as orb_ops, ransac
 from orbslamm_tpu.ops.orb import Features
 from orbslamm_tpu.utils.config import SlamConfig
@@ -214,6 +215,9 @@ class RobotTracker:
         self._reset_tracking()
         self.frame_id = -1
         self.on_keyframe = None  # callback(tracker, slot) — MultiMapper hook
+        self.use_fused = True  # single-dispatch fused frame step (models/fused.py)
+        self._frame_step = fused.make_frame_step(cfg, self.extract, self.K)
+        self._ts = None  # device TrackState when the fused path is active
 
     def _reset_tracking(self):
         self._ref = None
@@ -232,10 +236,39 @@ class RobotTracker:
         self.mapctx = mapctx
         self.state = TrackingState.NOT_INITIALIZED
         self._reset_tracking()
+        self._ts = None
+
+    def _sync_from_ts(self):
+        """Copy the device TrackState back into the host-path fields before
+        a host-side mutation (merge adoption, relocalization, ...)."""
+        if self._ts is None:
+            return
+        t = self._ts
+        self.T_cw = t.T_cw
+        self.velocity = t.velocity
+        self.last_T = t.last_T
+        self.last_feats = t.last_feats
+        self.last_lm = t.last_lm
+        self.frames_since_kf = int(t.frames_since_kf)
+        self.peak_inliers_since_kf = int(t.peak_inliers)
+        self._ts = None
+
+    def _make_ts(self) -> fused.TrackState:
+        return fused.TrackState(
+            T_cw=self.T_cw,
+            velocity=self.velocity,
+            last_T=self.last_T,
+            last_feats=self.last_feats,
+            last_lm=self.last_lm,
+            frames_since_kf=jnp.int32(self.frames_since_kf),
+            peak_inliers=jnp.int32(self.peak_inliers_since_kf),
+            n_kf=jnp.int32(self.mapctx.n_kf),
+        )
 
     def adopt_merged_map(self, mapctx: MapContext, S_new_from_old: jax.Array, lm_remap):
         """After this robot's map was merged into ``mapctx``: keep tracking,
         with pose/associations transformed into the merged frame."""
+        self._sync_from_ts()
         self.mapctx = mapctx
         S = geo.sim3_compose(geo.sim3_from_se3(self.T_cw), geo.sim3_inv(S_new_from_old))
         self.T_cw = geo.sim3_to_se3(S)
@@ -344,6 +377,7 @@ class RobotTracker:
         return n2
 
     def _try_relocalize(self, feats: Features) -> int:
+        self._sync_from_ts()
         mc = self.mapctx
         if mc.voc is None or mc.kf_bow is None:
             return 0
@@ -371,6 +405,36 @@ class RobotTracker:
                 return int(n)
         return 0
 
+    def _track_fused(self, img, timestamp: float) -> int:
+        mc = self.mapctx
+        if self._ts is None:
+            self._ts = self._make_ts()
+        m, ts_next, summary = self._frame_step(
+            mc.map, self._ts, img, jnp.int32(self.frame_id), jnp.float32(timestamp)
+        )
+        mc.map = m
+        self._ts = ts_next
+        s = jax.device_get(summary)  # the single host sync of the frame
+        n_inl = int(s.n_inliers)
+        self.T_cw = jnp.asarray(s.T_cw)
+        if not bool(s.tracking_ok):
+            self._sync_from_ts()
+            return n_inl
+        if bool(s.new_kf):
+            slot = int(s.kf_slot)
+            mc.n_kf = slot + 1
+            mc.update_bow_row(slot)
+            self._key, sub = jax.random.split(self._key)
+            if mc.try_close_loop(slot, sub):
+                # loop correction moved the map — restart motion model there
+                self._sync_from_ts()
+                self.T_cw = mc.map.kf_pose[slot]
+                self.last_T = self.T_cw
+                self.velocity = jnp.eye(4)
+            if self.on_keyframe is not None:
+                self.on_keyframe(self, slot)
+        return n_inl
+
     # -- public API --------------------------------------------------------
     def process_frame(self, image: np.ndarray, timestamp: float) -> FrameRecord:
         self.frame_id += 1
@@ -380,6 +444,10 @@ class RobotTracker:
             feats = self.extract_init(img)
             self.state = TrackingState.NOT_INITIALIZED
             self._try_initialize(feats, timestamp)
+        elif self.state == TrackingState.OK and self.use_fused:
+            n_inl = self._track_fused(img, timestamp)
+            if n_inl < self.cfg.tracking.min_inliers_local_map:
+                self.state = TrackingState.LOST
         elif self.state == TrackingState.OK:
             feats = self.extract(img)
             n_inl = self._track(feats, timestamp)
