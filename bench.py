@@ -32,16 +32,25 @@ def main():
         capacity=CapacityConfig(max_keyframes=128, max_landmarks=8192),
         tracking=TrackingConfig(pixel_noise=1.2),
     )
+    import jax
+
     n_frames = 90
     seq = make_sequence(n_frames=n_frames, n_points=2500, cam=cam, seed=7,
                         motion="forward")
     sess = MonocularSession(cfg)
+    # streaming mode: the per-frame host sync is pipelined one frame behind
+    # the dispatch, and the next image uploads while the current one computes
+    sess.tracker.defer_sync = True
+    device_imgs = [None] * n_frames
+    device_imgs[0] = jax.device_put(seq.images[0])
 
     times = []
     ok_frames = 0
     for i in range(n_frames):
         t0 = time.perf_counter()
-        rec = sess.process_frame(seq.images[i], float(seq.timestamps[i]))
+        if i + 1 < n_frames and device_imgs[i + 1] is None:
+            device_imgs[i + 1] = jax.device_put(seq.images[i + 1])  # prefetch
+        rec = sess.process_frame(device_imgs[i], float(seq.timestamps[i]))
         dt = time.perf_counter() - t0
         if rec.state == "OK":
             ok_frames += 1

@@ -30,6 +30,10 @@ def main():
     seq = load_kitti_sequence(args.sequence)
     n = len(seq) if not args.max_frames else min(len(seq), args.max_frames)
 
+    from orbslamm_tpu.driver import autodetect_image_size
+
+    cfg = autodetect_image_size(cfg, seq.frame(0))
+
     def frames(lo, hi):
         for i in range(lo, hi):
             yield seq.timestamps[i], seq.frame(i)

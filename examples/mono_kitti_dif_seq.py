@@ -35,6 +35,10 @@ def main():
     s1 = load_kitti_sequence(args.seq1)
     s2 = load_kitti_sequence(args.seq2)
 
+    from orbslamm_tpu.driver import autodetect_image_size
+
+    cfg = autodetect_image_size(cfg, s1.frame(0))
+
     def frames(seq, n):
         for i in range(n):
             yield seq.timestamps[i], seq.frame(i)

@@ -15,9 +15,22 @@ from pathlib import Path
 
 import numpy as np
 
+import dataclasses
+
 from orbslamm_tpu.models.multimap import MultiMapper
 from orbslamm_tpu.io import trajectory as tio
 from orbslamm_tpu.utils.config import SlamConfig
+
+
+def autodetect_image_size(cfg: SlamConfig, sample_image) -> SlamConfig:
+    """Reference settings YAMLs carry no image dimensions (cv::Mat knows its
+    own size); our static-shape extractor needs them — take them from the
+    first frame."""
+    h, w = sample_image.shape[:2]
+    if (cfg.camera.height, cfg.camera.width) != (h, w):
+        cam = dataclasses.replace(cfg.camera, height=h, width=w)
+        cfg = dataclasses.replace(cfg, camera=cam)
+    return cfg
 
 
 @dataclass

@@ -47,6 +47,21 @@ class ImageSequence:
     def frame(self, i: int) -> np.ndarray:
         return imread_gray(self.paths[i])
 
+    def prefetched(self, height: int, width: int, lookahead: int = 8):
+        """Iterate (timestamp, gray) with the native C++ prefetching decoder
+        (native/frame_loader.cc) when available, else the Python decoder."""
+        try:
+            from orbslamm_tpu.io.native import NativeFrameLoader, native_available
+
+            if native_available():
+                loader = NativeFrameLoader(self.paths, height, width, lookahead)
+                for ts, img in zip(self.timestamps, loader):
+                    yield float(ts), img
+                return
+        except Exception:
+            pass
+        yield from iter(self)
+
 
 def load_tum_sequence(seq_dir: str | Path) -> ImageSequence:
     seq_dir = Path(seq_dir)

@@ -72,44 +72,93 @@ class LoopSim3(NamedTuple):
     n_inliers: jax.Array
 
 
+
+
+def _sim3_between_feature_sets(
+    cfg: SlamConfig,
+    desc_b, angle_b, pb, has_b,
+    desc_a, angle_a, pa, has_a,
+    K_b, K_a, key,
+):
+    """Two-stage relative Sim3 between two landmark-bearing feature sets
+    (3D points given in each keyframe's camera frame).
+
+    Stage 1: appearance matching + Sim3 RANSAC (SearchByBoW + Sim3Solver).
+    Stage 2: SearchBySim3 (ORBmatcher.cc:1104) — project each side's points
+    into the other camera through the current Sim3 estimate, match within a
+    window, then re-solve (Horn on inliers, the OptimizeSim3 analog) and
+    re-count. Rescues candidate pairs whose direct descriptor overlap is
+    small but whose geometric overlap is large.
+    """
+    res = matching.match(
+        desc_b, desc_a, has_b, has_a,
+        max_dist=float(cfg.matcher.th_low), ratio=0.75, mutual=True,
+        angles_a=angle_b, angles_b=angle_a,
+    )
+    res = matching.resolve_duplicates(res, has_a.shape[0])
+    pa_m = pa[res.idx]
+    s3 = ransac.sim3_ransac(
+        pb, pa_m, res.ok, K_b, K_a, key, min_inliers=8
+    )
+    S = s3.S21  # b-cam -> a-cam
+
+    def extend(S, _):
+        # project b-points into a's image through S; match by appearance
+        pb_in_a = geo.sim3_apply(S, pb)
+        uv_a_pred = geo.project(K_a, pb_in_a)
+        uv_a = geo.project(K_a, pa)
+        vis = has_b & (pb_in_a[:, 2] > 0.1)
+        allowed = (
+            jnp.abs(uv_a_pred[:, None, :] - uv_a[None, :, :]).max(-1) <= 9.0
+        ) & vis[:, None] & has_a[None, :]
+        r2 = matching.match(
+            desc_b, desc_a, vis, has_a, allowed=allowed,
+            max_dist=float(cfg.matcher.th_high), ratio=1.0,
+        )
+        r2 = matching.resolve_duplicates(r2, has_a.shape[0])
+        # refine with Horn on the extended correspondences
+        pa2 = pa[r2.idx]
+        s_f, R_f, t_f = geo.umeyama_alignment(pb, pa2, mask=r2.ok)
+        S_new = geo.sim3_make(s_f, R_f, t_f)
+        # count inliers under the refined transform (both-image check)
+        pb2a = geo.sim3_apply(S_new, pb)
+        e_a = jnp.sum((geo.project(K_a, pb2a) - geo.project(K_a, pa2)) ** 2, -1)
+        inl = r2.ok & (e_a < 9.86)
+        ok = r2.ok.sum() >= 10
+        S_out = jnp.where(ok, S_new, S)
+        return S_out, inl
+
+    S, inl = extend(S, None)
+    S, inl = extend(S, None)
+    n = inl.sum().astype(jnp.int32)
+    success = s3.success | (n >= cfg.loop.min_sim3_inliers)
+    # require a minimum appearance-level support too
+    success &= (res.ok.sum() + n) >= cfg.loop.min_bow_matches
+    return success, S, n
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def compute_loop_sim3(
     cfg: SlamConfig, m: ms.MapState, slot_a: jax.Array, slot_b: jax.Array, key
 ) -> LoopSim3:
-    """Match landmark-bearing features of the two keyframes and solve the
-    relative Sim3 from the 3D-3D pairs (ComputeSim3, LoopClosing.cc:237)."""
+    """Two-stage relative Sim3 between keyframes of the SAME map
+    (ComputeSim3, LoopClosing.cc:237: SearchByBoW → Sim3 RANSAC →
+    SearchBySim3 → OptimizeSim3). S_ba maps slot_a camera → slot_b camera."""
     has_a = m.kf_feat_valid[slot_a] & (m.kf_obs_lm[slot_a] >= 0)
     has_b = m.kf_feat_valid[slot_b] & (m.kf_obs_lm[slot_b] >= 0)
     lm_a = jnp.maximum(m.kf_obs_lm[slot_a], 0)
     lm_b = jnp.maximum(m.kf_obs_lm[slot_b], 0)
     has_a &= m.lm_valid[lm_a]
     has_b &= m.lm_valid[lm_b]
-    res = matching.match(
-        m.kf_desc[slot_a],
-        m.kf_desc[slot_b],
-        has_a,
-        has_b,
-        max_dist=float(cfg.matcher.th_low),
-        ratio=0.75,
-        mutual=True,
-        angles_a=m.kf_angle[slot_a],
-        angles_b=m.kf_angle[slot_b],
-    )
-    res = matching.resolve_duplicates(res, has_b.shape[0])
-    # 3D points in each keyframe's camera frame
     pa = geo.transform_points(m.kf_pose[slot_a], m.lm_pos[lm_a])
-    pb = geo.transform_points(m.kf_pose[slot_b], m.lm_pos[lm_b[res.idx]])
-    valid = res.ok
-    s3 = ransac.sim3_ransac(
-        pa, pb, valid, m.kf_K[slot_a], m.kf_K[slot_b], key,
-        min_inliers=cfg.loop.min_sim3_inliers,
+    pb = geo.transform_points(m.kf_pose[slot_b], m.lm_pos[lm_b])
+    success, S, n = _sim3_between_feature_sets(
+        cfg,
+        m.kf_desc[slot_a], m.kf_angle[slot_a], pa, has_a,
+        m.kf_desc[slot_b], m.kf_angle[slot_b], pb, has_b,
+        m.kf_K[slot_a], m.kf_K[slot_b], key,
     )
-    enough_bow = res.ok.sum() >= cfg.loop.min_bow_matches
-    return LoopSim3(
-        success=s3.success & enough_bow,
-        S_ba=s3.S21,
-        n_inliers=s3.n_inliers,
-    )
+    return LoopSim3(success=success, S_ba=S, n_inliers=n)
 
 
 # ---------------------------------------------------------------------------
@@ -241,30 +290,15 @@ def compute_loop_sim3_cross(
     lm_a = jnp.maximum(m_a.kf_obs_lm[slot_a], 0)
     has_b &= m_b.lm_valid[lm_b]
     has_a &= m_a.lm_valid[lm_a]
-    res = matching.match(
-        m_b.kf_desc[slot_b],
-        m_a.kf_desc[slot_a],
-        has_b,
-        has_a,
-        max_dist=float(cfg.matcher.th_low),
-        ratio=0.75,
-        mutual=True,
-        angles_a=m_b.kf_angle[slot_b],
-        angles_b=m_a.kf_angle[slot_a],
-    )
-    res = matching.resolve_duplicates(res, has_a.shape[0])
     pb = geo.transform_points(m_b.kf_pose[slot_b], m_b.lm_pos[lm_b])
-    pa = geo.transform_points(m_a.kf_pose[slot_a], m_a.lm_pos[lm_a[res.idx]])
-    s3 = ransac.sim3_ransac(
-        pb, pa, res.ok, m_b.kf_K[slot_b], m_a.kf_K[slot_a], key,
-        min_inliers=cfg.loop.min_sim3_inliers,
+    pa = geo.transform_points(m_a.kf_pose[slot_a], m_a.lm_pos[lm_a])
+    success, S, n = _sim3_between_feature_sets(
+        cfg,
+        m_b.kf_desc[slot_b], m_b.kf_angle[slot_b], pb, has_b,
+        m_a.kf_desc[slot_a], m_a.kf_angle[slot_a], pa, has_a,
+        m_b.kf_K[slot_b], m_a.kf_K[slot_a], key,
     )
-    enough_bow = res.ok.sum() >= cfg.loop.min_bow_matches
-    return LoopSim3(
-        success=s3.success & enough_bow,
-        S_ba=s3.S21,
-        n_inliers=s3.n_inliers,
-    )
+    return LoopSim3(success=success, S_ba=S, n_inliers=n)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

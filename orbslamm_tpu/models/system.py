@@ -216,6 +216,11 @@ class RobotTracker:
         self.frame_id = -1
         self.on_keyframe = None  # callback(tracker, slot) — MultiMapper hook
         self.use_fused = True  # single-dispatch fused frame step (models/fused.py)
+        # defer_sync pipelines the per-frame host sync one frame behind the
+        # dispatch (streaming mode): hides the host<->device round trip at
+        # the cost of keyframe events and records lagging one frame
+        self.defer_sync = False
+        self._pending = None
         self._frame_step = fused.make_frame_step(cfg, self.extract, self.K)
         self._ts = None  # device TrackState when the fused path is active
 
@@ -294,16 +299,23 @@ class RobotTracker:
                 self._ref = feats
                 self._ref_meta = (self.frame_id, timestamp)
             return
-        self._key, sub = jax.random.split(self._key)
-        xy_cur = jnp.take(feats.xy, res.idx, axis=0)
         import math
-        init = ransac.two_view_init(
-            self._ref.xy, xy_cur, res.ok, self.K, sub, n_hyp=512, sigma=1.5,
-            min_inliers=cfg.tracking.init_min_triangulated,
-            median_parallax_cos=math.cos(
-                math.radians(cfg.tracking.init_min_parallax_deg)
-            ),
-        )
+
+        xy_cur = jnp.take(feats.xy, res.idx, axis=0)
+        init = None
+        # borderline two-view problems are RANSAC-draw sensitive: a second
+        # independent draw roughly squares the per-frame failure probability
+        for _attempt in range(2):
+            self._key, sub = jax.random.split(self._key)
+            init = ransac.two_view_init(
+                self._ref.xy, xy_cur, res.ok, self.K, sub, n_hyp=512, sigma=1.5,
+                min_inliers=cfg.tracking.init_min_triangulated,
+                median_parallax_cos=math.cos(
+                    math.radians(cfg.tracking.init_min_parallax_deg)
+                ),
+            )
+            if bool(init.success):
+                break
         if not bool(init.success):
             return
         mc = self.mapctx
@@ -414,7 +426,13 @@ class RobotTracker:
         )
         mc.map = m
         self._ts = ts_next
-        s = jax.device_get(summary)  # the single host sync of the frame
+        if self.defer_sync:
+            prev, self._pending = self._pending, summary
+            if prev is None:
+                return self.cfg.tracking.min_inliers_local_map  # warmup frame
+            s = jax.device_get(prev)
+        else:
+            s = jax.device_get(summary)  # the single host sync of the frame
         n_inl = int(s.n_inliers)
         self.T_cw = jnp.asarray(s.T_cw)
         if not bool(s.tracking_ok):

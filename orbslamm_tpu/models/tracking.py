@@ -92,13 +92,18 @@ def track_motion_model(
     pos_f = m.lm_pos[lm_of_feat]
     use = feat_lm >= 0
     s2 = _sigma2(feats.level, cfg.orb.scale_factor, cfg.tracking.pixel_noise)
-    opt_a = ba.pose_optimize(T_pred, K, pos_f, feats.xy, use, sigma2=s2)
-    opt_b = ba.pose_optimize(T_last, K, pos_f, feats.xy, use, sigma2=s2)
-    a_wins = opt_a.n_inliers >= opt_b.n_inliers
+    # both basins optimized IN PARALLEL (vmap) — halves the serial LM length
+    both = jax.vmap(
+        lambda T0: ba.pose_optimize(
+            T0, K, pos_f, feats.xy, use, sigma2=s2
+        )
+    )(jnp.stack([T_pred, T_last]))
+    a_wins = both.n_inliers[0] >= both.n_inliers[1]
+    sel = jnp.where(a_wins, 0, 1)
     opt = ba.PoseOptResult(
-        T_cw=jnp.where(a_wins, opt_a.T_cw, opt_b.T_cw),
-        inliers=jnp.where(a_wins, opt_a.inliers, opt_b.inliers),
-        n_inliers=jnp.where(a_wins, opt_a.n_inliers, opt_b.n_inliers),
+        T_cw=both.T_cw[sel],
+        inliers=both.inliers[sel],
+        n_inliers=both.n_inliers[sel],
     )
     feat_lm = jnp.where(opt.inliers, feat_lm, -1)
     return TrackResult(

@@ -195,8 +195,8 @@ def load_settings(path: str | Path, base: SlamConfig | None = None) -> SlamConfi
         k3=g("Camera.k3", cfg.camera.k3),
         fps=g("Camera.fps", cfg.camera.fps),
         rgb=int(raw.get("Camera.RGB", cfg.camera.rgb)),
-        width=cfg.camera.width,
-        height=cfg.camera.height,
+        width=int(raw.get("Camera.width", cfg.camera.width)),
+        height=int(raw.get("Camera.height", cfg.camera.height)),
     )
     n_feat = int(raw.get("ORBextractor.nFeatures", cfg.orb.n_features))
     orb = dataclasses.replace(

@@ -131,7 +131,10 @@ def test_kidnap_creates_new_map():
         camera=cam,
         orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
         capacity=CapacityConfig(max_keyframes=64, max_landmarks=4096),
-        tracking=TrackingConfig(pixel_noise=1.2),
+        tracking=TrackingConfig(
+            pixel_noise=1.2, min_matches_init=55,
+            init_min_triangulated=30, init_min_parallax_deg=0.4,
+        ),
     )
     seq = make_sequence(n_frames=60, n_points=1400, cam=cam, seed=7, kidnap_at=30)
     mm = MultiMapper(cfg)
