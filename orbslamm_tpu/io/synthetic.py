@@ -133,6 +133,7 @@ def make_sequence(
     n_points: int = 4000,
     motion: str = "strafe",
     kidnap_at: int | None = None,
+    return_at: int | None = None,
     seed: int = 0,
 ) -> SyntheticSequence:
     """Generate a rendered sequence with ground-truth poses.
@@ -143,8 +144,10 @@ def make_sequence(
       * "forward" — dominant forward motion (KITTI analog)
       * "orbit"   — yaw around the field
     kidnap_at — teleport the camera far away at this frame (tracking loss →
-                new-map path), returning near the start at the end is NOT done
-                here; merge tests construct overlap explicitly.
+                new-map path).
+    return_at — teleport BACK and re-traverse the original path from its
+                start (the fr2_360_kidnap scenario: the second map's
+                keyframes revisit the first map's region → cross-map merge).
     """
     cam = cam or CameraConfig()
     rng = np.random.default_rng(seed)
@@ -164,7 +167,10 @@ def make_sequence(
     timestamps = np.arange(n_frames, dtype=np.float64) / max(cam.fps, 1.0)
 
     for i in range(n_frames):
-        s = i / max(n_frames - 1, 1)
+        if return_at is not None and i >= return_at:
+            s = (i - return_at) / max(n_frames - 1, 1)
+        else:
+            s = i / max(n_frames - 1, 1)
         if motion == "strafe":
             C = np.array([2.5 * s, 0.4 * np.sin(4 * s), 0.5 * s], np.float32)
             Rwc = _rot_y(0.15 * s) @ _rot_x(0.05 * np.sin(3 * s))
@@ -183,7 +189,9 @@ def make_sequence(
             Rwc = _rot_y(0.15 * sb) @ _rot_x(0.05 * np.sin(3 * sb))
         else:
             raise ValueError(motion)
-        if kidnap_at is not None and i >= kidnap_at:
+        if kidnap_at is not None and i >= kidnap_at and (
+            return_at is None or i < return_at
+        ):
             C = C + np.array([40.0, 0.0, 2.0], np.float32)
         # camera-from-world: R = Rwc^T, t = -R C
         R = Rwc.T

@@ -39,6 +39,7 @@ class TrackState(NamedTuple):
     last_lm: jax.Array  # [M]
     frames_since_kf: jax.Array  # i32
     peak_inliers: jax.Array  # i32
+    prev_inliers: jax.Array  # i32 — last frame's inlier count (collapse gate)
     n_kf: jax.Array  # i32 — next keyframe slot
 
 
@@ -69,7 +70,16 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
         T_start = jnp.where(weak, ts.last_T, r1.T_cw)
         feat_lm0 = jnp.where(weak, jnp.full_like(r1.feat_lm, -1), r1.feat_lm)
         r2, m = trk.track_local_map(cfg, m, feats, T_start, K, feat_lm0)
-        ok = r2.n_inliers >= cfg.tracking.min_inliers_local_map
+        ok = (r2.n_inliers >= cfg.tracking.min_inliers_local_map) & (
+            r2.n_inliers.astype(jnp.float32)
+            >= cfg.tracking.min_track_inlier_ratio * r2.n_matches.astype(jnp.float32)
+        )
+        # sudden-collapse gate: a kidnap/teleport produces a cliff in the
+        # inlier count even when chance (perceptual-aliasing) matches keep it
+        # above the absolute floor — treat a >4x single-frame drop as loss
+        ok &= r2.n_inliers.astype(jnp.float32) >= 0.25 * ts.prev_inliers.astype(
+            jnp.float32
+        )
 
         peak = jnp.maximum(ts.peak_inliers, r2.n_inliers)
         fsk = ts.frames_since_kf + 1
@@ -118,6 +128,7 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
             last_lm=jnp.where(ok, r2.feat_lm, ts.last_lm),
             frames_since_kf=jnp.where(need_kf, 0, jnp.where(ok, fsk, ts.frames_since_kf)),
             peak_inliers=jnp.where(need_kf, r2.n_inliers, jnp.where(ok, peak, ts.peak_inliers)),
+            prev_inliers=jnp.where(ok, r2.n_inliers, ts.prev_inliers),
             n_kf=jnp.where(need_kf, ts.n_kf + 1, ts.n_kf),
         )
         summary = FrameSummary(

@@ -235,6 +235,7 @@ class RobotTracker:
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self.peak_inliers_since_kf = 0
+        self.prev_inliers = 0  # collapse-gate reference (0 disables the gate)
 
     def switch_map(self, mapctx: MapContext):
         """ORBSLAMM SwitchMap: point the tracker at a (new or merged) map."""
@@ -256,6 +257,7 @@ class RobotTracker:
         self.last_lm = t.last_lm
         self.frames_since_kf = int(t.frames_since_kf)
         self.peak_inliers_since_kf = int(t.peak_inliers)
+        self.prev_inliers = int(t.prev_inliers)
         self._ts = None
 
     def _make_ts(self) -> fused.TrackState:
@@ -267,6 +269,7 @@ class RobotTracker:
             last_lm=self.last_lm,
             frames_since_kf=jnp.int32(self.frames_since_kf),
             peak_inliers=jnp.int32(self.peak_inliers_since_kf),
+            prev_inliers=jnp.int32(self.prev_inliers),
             n_kf=jnp.int32(self.mapctx.n_kf),
         )
 
@@ -332,6 +335,7 @@ class RobotTracker:
         self.last_lm = mc.map.kf_obs_lm[1]
         self.last_kf_inliers = int(init.n_inliers)
         self.peak_inliers_since_kf = int(init.n_inliers)
+        self.prev_inliers = 0
         self.state = TrackingState.OK
         self.frames_since_kf = 0
         for s in (0, 1):
@@ -354,8 +358,13 @@ class RobotTracker:
             feat_lm = jnp.full_like(r1.feat_lm, -1)
         r2, mc.map = trk.track_local_map(cfg, mc.map, feats, T, self.K, feat_lm)
         n2 = int(r2.n_inliers)
-        if n2 < cfg.tracking.min_inliers_local_map:
-            return n2
+        if (
+            n2 < cfg.tracking.min_inliers_local_map
+            or n2 < cfg.tracking.min_track_inlier_ratio * int(r2.n_matches)
+            or n2 < 0.25 * self.prev_inliers
+        ):
+            return 0 if n2 >= cfg.tracking.min_inliers_local_map else n2
+        self.prev_inliers = n2
         self.T_cw = r2.T_cw
         self.velocity = self.T_cw @ geo.T_inv(self.last_T)
         self.last_T = self.T_cw
@@ -414,6 +423,7 @@ class RobotTracker:
                 self.state = TrackingState.OK
                 self.frames_since_kf = 0
                 self.peak_inliers_since_kf = int(n)
+                self.prev_inliers = 0
                 return int(n)
         return 0
 
@@ -437,7 +447,7 @@ class RobotTracker:
         self.T_cw = jnp.asarray(s.T_cw)
         if not bool(s.tracking_ok):
             self._sync_from_ts()
-            return n_inl
+            return 0  # signal tracking failure regardless of raw inlier count
         if bool(s.new_kf):
             slot = int(s.kf_slot)
             mc.n_kf = slot + 1

@@ -84,6 +84,8 @@ class TrackingConfig:
     min_inliers_track: int = 10  # post-PoseOptimization survival (Tracking.cc:905)
     min_matches_motion: int = 20  # TrackWithMotionModel acceptance (Tracking.cc:960)
     min_inliers_local_map: int = 30  # TrackLocalMap acceptance (Tracking.cc:1015)
+    min_track_inlier_ratio: float = 0.25  # inliers/associations floor — rejects
+    # perceptual-aliasing frames whose chance matches pass counts but not ratio
     new_kf_min_frames: int = 0
     new_kf_max_frames: int = 30  # mMaxFrames = fps (Tracking.cc:1060)
     new_kf_tracked_ratio: float = 0.9  # thRefRatio (Tracking.cc:1105)

@@ -151,3 +151,39 @@ def test_kidnap_creates_new_map():
     assert len(grown) >= 2, f"both maps should have keyframes: {[m.n_kf for m in live]}"
     # tracking recovered after the kidnap
     assert states[-1] == "OK" or states[-2] == "OK"
+
+
+@pytest.mark.slow
+def test_kidnap_and_return_merges_maps():
+    """The fr2_360_kidnap scenario end-to-end (BASELINE config #2): kidnap →
+    tracking loss → NEW map; return to the start → MultiMapper detects the
+    overlap and merges the maps (Tracking.cc:330 + MultiMapper.cc:82)."""
+    from orbslamm_tpu.eval.ate import ate_from_poses
+
+    cam = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160, cy=120, fps=30)
+    cfg = SlamConfig(
+        camera=cam,
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        capacity=CapacityConfig(max_keyframes=96, max_landmarks=8192),
+        tracking=TrackingConfig(
+            pixel_noise=1.2, min_matches_init=55,
+            init_min_triangulated=30, init_min_parallax_deg=0.4,
+        ),
+    )
+    seq = make_sequence(n_frames=100, n_points=1400, cam=cam, seed=7,
+                        kidnap_at=40, return_at=70)
+    mm = MultiMapper(cfg)
+    mm.add_robot("r0")
+    for i in range(100):
+        mm.process_frame(0, seq.images[i], float(seq.timestamps[i]))
+    assert len(mm.merges) >= 1, f"no merge happened: {mm.summary()}"
+    # the merged (base) map spans both the original and the kidnap region
+    base = next(m for m in mm.maps if m.map_id == mm.merges[0][1])
+    assert base.merged_into is None
+    assert base.n_kf >= 18, base.summary()
+    # merged keyframes stay geometrically consistent with ground truth
+    kv = np.asarray(base.map.kf_valid)
+    fids = np.asarray(base.map.kf_frame_id)[kv]
+    est = np.asarray(base.map.kf_pose)[kv]
+    ate = ate_from_poses(est, seq.poses_cw[fids])
+    assert ate < 0.6, f"merged-map ATE {ate}"
