@@ -102,12 +102,10 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
             m2 = ms.insert_keyframe(
                 m_in, slot, r2.T_cw, K, feats_in, feat_lm_in, frame_id, timestamp
             )
-            m2 = lm_stage.triangulate_new_landmarks(cfg, m2, slot)
-            m2 = lm_stage.fuse_neighbors(cfg, m2, slot)
-            m2 = lm_stage.local_bundle_adjustment(cfg, m2, slot)
-            m2 = lm_stage.cull_landmarks(cfg, m2, slot)
-            m2 = lm_stage.cull_keyframes(cfg, m2, slot)
-            return m2
+            # full mapping pipeline with the [K, L] indicator built once and
+            # threaded through all stages (triangulate → fuse → local BA →
+            # landmark/keyframe culling)
+            return lm_stage.process_new_keyframe(cfg, m2, slot)
 
         m = jax.lax.cond(need_kf, insert, lambda o: o[0], (m, feats, r2.feat_lm))
 

@@ -7,9 +7,13 @@ stage between tracked frames instead of a free-running thread — the
 reference's queue/abort machinery becomes scheduling policy in
 models/system.py.
 
-Deviations noted for later rounds: external observers of window landmarks
-are dropped from local BA rather than included-as-fixed; keyframe culling
-(LocalMapping.cc:632) lands with the loop-closing milestone.
+Performance structure: the [K, L] keyframe→landmark indicator (the basis
+of covisibility and observation counts) costs one big scatter to build, so
+``process_new_keyframe`` builds it ONCE and each stage below both consumes
+and incrementally maintains it (``ind`` in/out). The per-pair descriptor
+matches ride the fused Pallas matcher (no [N, M] HBM materialization).
+The public per-stage wrappers rebuild ``ind`` on demand — same results,
+used by the host-sequenced paths and tests.
 """
 
 from __future__ import annotations
@@ -32,6 +36,13 @@ def _fundamental_from_poses(T_a, T_b, K_a, K_b):
     return jnp.linalg.inv(K_b).T @ E @ jnp.linalg.inv(K_a)
 
 
+def _ind_row(obs_row: jax.Array, feat_valid_row: jax.Array, L: int) -> jax.Array:
+    """[M] observation row -> [L] indicator row (one small scatter)."""
+    idx = jnp.where(feat_valid_row & (obs_row >= 0), obs_row, L)
+    row = jnp.zeros((L + 1,), jnp.float32).at[idx].set(1.0)
+    return row[:L]
+
+
 def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: int):
     """Match unassociated features of keyframes a,b along epipolar bands and
     triangulate (reference CreateNewMapPoints, LocalMapping.cc:207).
@@ -47,18 +58,23 @@ def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: 
     free_b = m.kf_feat_valid[slot_b] & (m.kf_obs_lm[slot_b] < 0)
 
     F_ab = _fundamental_from_poses(T_a, T_b, K_a, K_b)
-    allowed = matching.epipolar_mask(F_ab, xy_a, xy_b, lvl_b, cfg.orb.scale_factor)
-    allowed &= matching.level_mask(lvl_a, lvl_b, lo=-2, hi=2)
     # NOTE: like the reference's SearchForTriangulation (ORBmatcher.cc:659)
     # this applies NO ratio test — the epipolar band (≈2% density) is the
     # selective filter, and the cheirality/parallax/reproj gates below kill
     # the remaining wrong pairs.
-    res = matching.match(
+    res = matching.match_epipolar(
         m.kf_desc[slot_a],
         m.kf_desc[slot_b],
         free_a,
         free_b,
-        allowed=allowed,
+        F12=F_ab,
+        xy_a=xy_a,
+        xy_b=xy_b,
+        level_a=lvl_a,
+        level_b=lvl_b,
+        scale=cfg.orb.scale_factor,
+        lvl_lo=-2.0,
+        lvl_hi=2.0,
         max_dist=float(cfg.matcher.th_high),
         ratio=1.0,
     )
@@ -115,10 +131,8 @@ def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: 
     score = jnp.where(ok, -res.dist, -1e9)
     _, pick = jax.lax.top_k(score, max_new)
     okp = ok[pick]
-    n = jnp.arange(xy_a.shape[0])
     feat_a = pick.astype(jnp.int32)
     feat_b = res.idx[pick]
-    del n
     Xp = X[pick]
     desc = m.kf_desc[slot_a][pick]
     # viewing normal: camera→point direction, as in MapPoint::UpdateNormalAndDepth
@@ -130,22 +144,16 @@ def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: 
     return Xp, okp, feat_a, feat_b, desc, normal, dmin, dmax
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors", "max_new"))
-def triangulate_new_landmarks(
-    cfg: SlamConfig,
-    m: ms.MapState,
-    kf_slot: jax.Array,
-    n_neighbors: int = 2,
-    max_new: int = 256,
-) -> ms.MapState:
+def _triangulate(cfg, m, kf_slot, ind, n_neighbors: int, max_new: int):
     """Create new landmarks between the new keyframe and its top covisible
-    neighbors."""
-    W = ms.covisibility(m)
+    neighbors. Consumes and maintains the [K, L] indicator."""
+    W = ms.covisibility(m, ind)
     row = jnp.where(
         m.kf_valid & (jnp.arange(W.shape[0]) != kf_slot), W[kf_slot], -1
     )
     _, nbrs = jax.lax.top_k(row, n_neighbors)
     nbr_ok = row[nbrs] > 0
+    L = m.lm_pos.shape[0]
 
     for i in range(n_neighbors):
         slot_b = nbrs[i]
@@ -167,20 +175,17 @@ def triangulate_new_landmarks(
             .at[slot_b, fb]
             .set(slots, mode="drop")
         )
-    return m
+        # indicator: the new landmark columns light up for both keyframes.
+        # A freed slot may carry a stale column from a culled landmark —
+        # clear the column first, then set the two new observers.
+        col = jnp.where(okp, slots, L)
+        ind = ind.at[:, col].set(0.0, mode="drop")
+        ind = ind.at[kf_slot, col].set(1.0, mode="drop")
+        ind = ind.at[slot_b, col].set(1.0, mode="drop")
+    return m, ind
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "window", "n_fixed", "iters")
-)
-def local_bundle_adjustment(
-    cfg: SlamConfig,
-    m: ms.MapState,
-    kf_slot: jax.Array,
-    window: int = 12,
-    n_fixed: int = 8,
-    iters: int = 8,
-) -> ms.MapState:
+def _local_ba(cfg, m, kf_slot, ind, window: int, n_fixed: int, iters: int):
     """Windowed Schur BA around the new keyframe (Optimizer.cc:475).
 
     The top-``window`` covisible keyframes are free; the NEXT ``n_fixed``
@@ -189,7 +194,7 @@ def local_bundle_adjustment(
     which pin the window's gauge (position AND monocular scale) to the rest
     of the map. Without them each local BA lets the window drift.
     """
-    Wc = ms.covisibility(m)
+    Wc = ms.covisibility(m, ind)
     K_pool, Mfeat = m.kf_obs_lm.shape
     total = window + n_fixed
     row = jnp.where(m.kf_valid, Wc[kf_slot], -1).at[kf_slot].set(1 << 30)
@@ -238,15 +243,22 @@ def local_bundle_adjustment(
     # Optimizer.cc LocalBundleAdjustment outlier removal)
     out = (~res.obs_inlier.reshape(window, Mfeat)) & feat_ok
     new_rows = jnp.where(out, -1, m.kf_obs_lm[win])
-    m = m._replace(kf_obs_lm=m.kf_obs_lm.at[win].set(jnp.where(win_ok[:, None], new_rows, m.kf_obs_lm[win])))
-    return m
+    new_rows = jnp.where(win_ok[:, None], new_rows, m.kf_obs_lm[win])
+    m = m._replace(kf_obs_lm=m.kf_obs_lm.at[win].set(new_rows))
+    # indicator: rebuild the touched rows (small per-row scatters)
+    L = m.lm_pos.shape[0]
+    rows = jax.vmap(lambda o, v: _ind_row(o, v, L))(
+        new_rows, m.kf_feat_valid[win]
+    ) * (m.kf_valid[win] & win_ok)[:, None].astype(jnp.float32)
+    keep = jnp.where(win_ok, win, K_pool)
+    ind = ind.at[keep].set(rows, mode="drop")
+    return m, ind
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def cull_landmarks(cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array) -> ms.MapState:
+def _cull_landmarks(cfg, m, kf_slot, ind):
     """MapPointCulling (LocalMapping.cc:170): drop landmarks with a bad
     found/visible ratio or too few observations soon after creation."""
-    obs = ms.lm_obs_count(m)
+    obs = ms.lm_obs_count(m, ind)
     ratio = m.lm_found.astype(jnp.float32) / jnp.maximum(m.lm_visible, 1).astype(jnp.float32)
     age = kf_slot.astype(jnp.int32) - m.lm_first_kf
     bad = m.lm_valid & (
@@ -256,7 +268,9 @@ def cull_landmarks(cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array) -> ms.Ma
     m = m._replace(lm_valid=m.lm_valid & ~bad)
     # clear dangling observations
     dangling = (m.kf_obs_lm >= 0) & ~m.lm_valid[jnp.maximum(m.kf_obs_lm, 0)]
-    return m._replace(kf_obs_lm=jnp.where(dangling, -1, m.kf_obs_lm))
+    m = m._replace(kf_obs_lm=jnp.where(dangling, -1, m.kf_obs_lm))
+    ind = ind * ~bad[None, :]
+    return m, ind
 
 
 def _fuse_into_kf(cfg: SlamConfig, m: ms.MapState, slot: jax.Array, lm_mask: jax.Array):
@@ -300,15 +314,19 @@ def _fuse_into_kf(cfg: SlamConfig, m: ms.MapState, slot: jax.Array, lm_mask: jax
         cfg.orb.n_levels - 1,
     )
     radius = 3.0 * cfg.orb.scale_factor**pred_level
-    allowed = jnp.abs(m.kf_xy[slot][:, None, :] - uv[None, :, :]).max(-1) <= radius[None, :]
-    lvl_d = m.kf_level[slot][:, None].astype(jnp.float32) - pred_level[None, :]
-    allowed &= (lvl_d >= -1) & (lvl_d <= 2)
-    res = matching.match(
+    # level band: feat.level - pred_level in [-1, 2]  ⇔  lb - la in [-2, 1]
+    res = matching.match_windowed(
         m.kf_desc[slot],
         m.lm_desc,
         free,
         vis,
-        allowed=allowed,
+        xy_a=m.kf_xy[slot],
+        xy_b=uv,
+        radius_b=radius,
+        level_a=m.kf_level[slot],
+        level_b=pred_level,
+        lvl_lo=-2.0,
+        lvl_hi=1.0,
         max_dist=float(cfg.matcher.th_low),
         ratio=1.0,
     )
@@ -317,14 +335,11 @@ def _fuse_into_kf(cfg: SlamConfig, m: ms.MapState, slot: jax.Array, lm_mask: jax
     return m._replace(kf_obs_lm=m.kf_obs_lm.at[slot].set(new_obs))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
-def fuse_neighbors(
-    cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_neighbors: int = 4
-) -> ms.MapState:
+def _fuse(cfg, m, kf_slot, ind, n_neighbors: int):
     """SearchInNeighbors (LocalMapping.cc:454): cross-pollinate observations
     between the new keyframe and its covisible neighborhood, raising obs
     counts so fresh landmarks survive culling and BA gets more constraints."""
-    W = ms.covisibility(m)
+    W = ms.covisibility(m, ind)
     row = jnp.where(
         m.kf_valid & (jnp.arange(W.shape[0]) != kf_slot), W[kf_slot], -1
     )
@@ -335,25 +350,28 @@ def fuse_neighbors(
     own = jnp.zeros((L + 1,), bool).at[
         jnp.where(m.kf_obs_lm[kf_slot] >= 0, m.kf_obs_lm[kf_slot], L)
     ].set(True)[:L]
+    touched = [kf_slot]
     for i in range(n_neighbors):
         # project new KF's landmarks into neighbor i (skip invalid neighbors
         # by masking the landmark set to empty)
         m = _fuse_into_kf(cfg, m, nbrs[i], own & nbr_ok[i])
+        touched.append(nbrs[i])
     # symmetric: project ALL map landmarks into the new keyframe
     m = _fuse_into_kf(cfg, m, kf_slot, jnp.ones((L,), bool))
-    return m
+    # indicator: rebuild the touched rows
+    for s in touched:
+        row_i = _ind_row(m.kf_obs_lm[s], m.kf_feat_valid[s], L)
+        ind = ind.at[s].set(row_i * m.kf_valid[s].astype(jnp.float32))
+    return m, ind
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_check"))
-def cull_keyframes(
-    cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_check: int = 6
-) -> ms.MapState:
+def _cull_keyframes(cfg, m, kf_slot, ind, n_check: int):
     """KeyFrameCulling (LocalMapping.cc:632): invalidate covisible keyframes
     whose landmarks are ≥90% observed by at least 3 other keyframes. The
     origin (fixed) and newest keyframes are never culled; ORBSLAMM also
     protects each map's first keyframe (mbOtherMapFirst, KeyFrame.h:109)."""
-    W = ms.covisibility(m)
-    obs_count = ms.lm_obs_count(m)
+    W = ms.covisibility(m, ind)
+    obs_count = ms.lm_obs_count(m, ind)
     row = jnp.where(
         m.kf_valid & (jnp.arange(W.shape[0]) != kf_slot), W[kf_slot], -1
     )
@@ -388,4 +406,82 @@ def cull_keyframes(
     m = m._replace(kf_valid=kf_valid)
     # culled keyframes' observations no longer count
     dangling = ~kf_valid[:, None] & (m.kf_obs_lm >= 0)
-    return m._replace(kf_obs_lm=jnp.where(dangling, -1, m.kf_obs_lm))
+    m = m._replace(kf_obs_lm=jnp.where(dangling, -1, m.kf_obs_lm))
+    ind = ind * kf_valid[:, None].astype(jnp.float32)
+    return m, ind
+
+
+def process_new_keyframe(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    n_neighbors: int = 2,
+    max_new: int = 256,
+    fuse_neighbors_n: int = 4,
+    ba_window: int = 12,
+    ba_fixed: int = 8,
+    ba_iters: int = 8,
+    cull_check: int = 6,
+) -> ms.MapState:
+    """The full per-keyframe mapping pipeline with the indicator built once
+    and threaded through all stages (the fused-step insert path)."""
+    ind = ms.lm_indicator(m)
+    m, ind = _triangulate(cfg, m, kf_slot, ind, n_neighbors, max_new)
+    m, ind = _fuse(cfg, m, kf_slot, ind, fuse_neighbors_n)
+    m, ind = _local_ba(cfg, m, kf_slot, ind, ba_window, ba_fixed, ba_iters)
+    m, ind = _cull_landmarks(cfg, m, kf_slot, ind)
+    m, ind = _cull_keyframes(cfg, m, kf_slot, ind, cull_check)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Public per-stage wrappers (host-sequenced path + tests)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors", "max_new"))
+def triangulate_new_landmarks(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    n_neighbors: int = 2,
+    max_new: int = 256,
+) -> ms.MapState:
+    m, _ = _triangulate(cfg, m, kf_slot, ms.lm_indicator(m), n_neighbors, max_new)
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "window", "n_fixed", "iters")
+)
+def local_bundle_adjustment(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    window: int = 12,
+    n_fixed: int = 8,
+    iters: int = 8,
+) -> ms.MapState:
+    m, _ = _local_ba(cfg, m, kf_slot, ms.lm_indicator(m), window, n_fixed, iters)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_landmarks(cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array) -> ms.MapState:
+    m, _ = _cull_landmarks(cfg, m, kf_slot, ms.lm_indicator(m))
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_neighbors"))
+def fuse_neighbors(
+    cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_neighbors: int = 4
+) -> ms.MapState:
+    m, _ = _fuse(cfg, m, kf_slot, ms.lm_indicator(m), n_neighbors)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_check"))
+def cull_keyframes(
+    cfg: SlamConfig, m: ms.MapState, kf_slot: jax.Array, n_check: int = 6
+) -> ms.MapState:
+    m, _ = _cull_keyframes(cfg, m, kf_slot, ms.lm_indicator(m), n_check)
+    return m

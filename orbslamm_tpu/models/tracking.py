@@ -67,15 +67,18 @@ def track_motion_model(
         cfg.orb.scale_factor ** last_feats.level.astype(jnp.float32)
     )
     # per-CANDIDATE (column) radius: window depends on the landmark's octave
-    allowed = jnp.abs(feats.xy[:, None, :] - uv[None, :, :]).max(-1) <= radius[None, :]
-    allowed &= vis[None, :]
-    allowed &= matching.level_mask(feats.level, last_feats.level, lo=-1, hi=1)
-    res = matching.match(
+    res = matching.match_windowed(
         feats.desc,
         last_feats.desc,
         feats.valid,
         vis,
-        allowed=allowed,
+        xy_a=feats.xy,
+        xy_b=uv,
+        radius_b=radius,
+        level_a=feats.level,
+        level_b=last_feats.level,
+        lvl_lo=-1.0,
+        lvl_hi=1.0,
         max_dist=float(cfg.matcher.th_high),
         ratio=cfg.matcher.nn_ratio_tracking,
         angles_a=feats.angle,
@@ -170,15 +173,19 @@ def track_local_map(
     radius = radius_base * cfg.orb.scale_factor ** pred_level
 
     free = feats.valid & (feat_lm < 0)
-    allowed = jnp.abs(feats.xy[:, None, :] - cand_uv[None, :, :]).max(-1) <= radius[None, :]
-    lvl_d = feats.level[:, None].astype(jnp.float32) - pred_level[None, :]
-    allowed &= (lvl_d >= -1) & (lvl_d <= 2)
-    res = matching.match(
+    # level band: feat.level - pred_level in [-1, 2]  ⇔  lb - la in [-2, 1]
+    res = matching.match_windowed(
         feats.desc,
         cand_desc,
         free,
         cand_ok,
-        allowed=allowed,
+        xy_a=feats.xy,
+        xy_b=cand_uv,
+        radius_b=radius,
+        level_a=feats.level,
+        level_b=pred_level,
+        lvl_lo=-2.0,
+        lvl_hi=1.0,
         max_dist=float(cfg.matcher.th_high),
         ratio=0.8,
     )

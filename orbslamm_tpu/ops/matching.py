@@ -121,20 +121,137 @@ def match(
         rev = jnp.argmin(D, axis=0).astype(jnp.int32)  # best A for each B
         ok &= rev[idx] == jnp.arange(D.shape[0], dtype=jnp.int32)
     if angles_a is not None and angles_b is not None:
-        two_pi = 2.0 * jnp.pi
-        delta = (angles_a - angles_b[idx]) % two_pi
-        bins = jnp.clip(
-            (delta / two_pi * histo_bins).astype(jnp.int32), 0, histo_bins - 1
-        )
-        hist = jnp.zeros((histo_bins,), jnp.int32).at[bins].add(ok.astype(jnp.int32))
-        counts, top3 = jax.lax.top_k(hist, 3)
         # reference ComputeThreeMaxima: drop 2nd/3rd bins below 0.1x the max
-        keep_bin = counts >= jnp.maximum(
-            (0.1 * counts[0].astype(jnp.float32)).astype(jnp.int32), 1
-        )
-        in_top = ((bins[:, None] == top3[None, :]) & keep_bin[None, :]).any(axis=1)
-        ok &= in_top
+        ok &= _rotation_consistent(ok, angles_a, angles_b, idx, histo_bins)
     return Matches(idx=idx, dist=jnp.where(ok, best, BIG), ok=ok)
+
+
+def match_windowed(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array,
+    valid_b: jax.Array,
+    xy_a: jax.Array | None = None,
+    xy_b: jax.Array | None = None,
+    radius_b: jax.Array | None = None,
+    level_a: jax.Array | None = None,
+    level_b: jax.Array | None = None,
+    lvl_lo: float = -1e9,
+    lvl_hi: float = 1e9,
+    max_dist: float = 50.0,
+    ratio: float = 1.0,
+    mutual: bool = False,
+    angles_a: jax.Array | None = None,
+    angles_b: jax.Array | None = None,
+    histo_bins: int = 30,
+) -> Matches:
+    """The hot-path matcher: window + octave-band candidate restriction.
+
+    Same contract as ``match`` with
+    ``allowed = window(xy, radius_b) & (lvl_b - lvl_a in [lvl_lo, lvl_hi])``
+    but computed through the fused Pallas kernel on TPU (no [N, M]
+    materialization in HBM; see ops/pallas/hamming.py). Falls back to an
+    equivalent jnp path off-TPU so CPU tests exercise identical semantics.
+    """
+    from orbslamm_tpu.ops.pallas import hamming as ph
+
+    use_window = xy_a is not None
+    aligned = desc_a.shape[0] % 256 == 0 and desc_b.shape[0] % 128 == 0
+    if aligned and jax.default_backend() == "tpu":
+        t = ph.match_tables(
+            desc_a, desc_b, valid_a, valid_b,
+            xy_a=xy_a, xy_b=xy_b, radius_b=radius_b,
+            level_a=level_a, level_b=level_b,
+            lvl_lo=lvl_lo, lvl_hi=lvl_hi, use_window=use_window,
+        )
+        idx, best, second, col_arg = t.row_arg, t.row_best, t.row_second, t.col_arg
+        ok = valid_a & (best <= max_dist)
+        if ratio < 1.0:
+            ok &= best < ratio * second
+        if mutual:
+            ok &= col_arg[idx] == jnp.arange(idx.shape[0], dtype=jnp.int32)
+        if angles_a is not None and angles_b is not None:
+            ok &= _rotation_consistent(ok, angles_a, angles_b, idx, histo_bins)
+        return Matches(idx=idx, dist=jnp.where(ok, best, BIG), ok=ok)
+
+    allowed = None
+    if use_window:
+        allowed = window_mask_b(xy_a, xy_b, radius_b)
+    if level_a is not None:
+        band = level_mask(level_a, level_b, lo=lvl_lo, hi=lvl_hi)
+        allowed = band if allowed is None else (allowed & band)
+    return match(
+        desc_a, desc_b, valid_a, valid_b, allowed=allowed,
+        max_dist=max_dist, ratio=ratio, mutual=mutual,
+        angles_a=angles_a, angles_b=angles_b, histo_bins=histo_bins,
+    )
+
+
+def match_epipolar(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array,
+    valid_b: jax.Array,
+    F12: jax.Array,  # fundamental matrix: lines in B's image = [xy_a;1] @ F12.T
+    xy_a: jax.Array,
+    xy_b: jax.Array,
+    level_a: jax.Array,
+    level_b: jax.Array,
+    scale: float,
+    lvl_lo: float = -2.0,
+    lvl_hi: float = 2.0,
+    max_dist: float = 100.0,
+    ratio: float = 1.0,
+) -> Matches:
+    """Epipolar-band matching for triangulation (SearchForTriangulation,
+    ORBmatcher.cc:659). Fused Pallas path on TPU, dense jnp fallback off."""
+    from orbslamm_tpu.ops.pallas import hamming as ph
+
+    aligned = desc_a.shape[0] % 256 == 0 and desc_b.shape[0] % 128 == 0
+    if aligned and jax.default_backend() == "tpu":
+        ones = jnp.ones((xy_a.shape[0], 1), xy_a.dtype)
+        lines = jnp.concatenate([xy_a, ones], axis=1) @ F12.T  # [N, 3]
+        sigma2 = (scale ** level_b.astype(jnp.float32)) ** 2
+        t = ph.match_tables(
+            desc_a, desc_b, valid_a, valid_b,
+            xy_b=xy_b, level_a=level_a, level_b=level_b,
+            lines_a=lines, epi_thr_b=3.84 * sigma2,
+            lvl_lo=lvl_lo, lvl_hi=lvl_hi, use_epipolar=True,
+        )
+        ok = valid_a & (t.row_best <= max_dist)
+        if ratio < 1.0:
+            ok &= t.row_best < ratio * t.row_second
+        return Matches(
+            idx=t.row_arg, dist=jnp.where(ok, t.row_best, BIG), ok=ok
+        )
+
+    allowed = epipolar_mask(F12, xy_a, xy_b, level_b, scale)
+    allowed &= level_mask(level_a, level_b, lo=lvl_lo, hi=lvl_hi)
+    return match(
+        desc_a, desc_b, valid_a, valid_b, allowed=allowed,
+        max_dist=max_dist, ratio=ratio,
+    )
+
+
+def window_mask_b(xy_a: jax.Array, xy_b: jax.Array, radius_b) -> jax.Array:
+    """[N,2] x [M,2] -> [N,M] bool — Chebyshev window with PER-COLUMN radii
+    (projection searches scale the window by the candidate's octave)."""
+    d = jnp.abs(xy_a[:, None, :] - xy_b[None, :, :])
+    r = jnp.asarray(radius_b, jnp.float32)
+    return jnp.max(d, axis=-1) <= r[None, :]
+
+
+def _rotation_consistent(ok, angles_a, angles_b, idx, histo_bins: int):
+    """Three-maxima rotation-consistency filter (shared by match paths)."""
+    two_pi = 2.0 * jnp.pi
+    delta = (angles_a - angles_b[idx]) % two_pi
+    bins = jnp.clip((delta / two_pi * histo_bins).astype(jnp.int32), 0, histo_bins - 1)
+    hist = jnp.zeros((histo_bins,), jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    counts, top3 = jax.lax.top_k(hist, 3)
+    keep_bin = counts >= jnp.maximum(
+        (0.1 * counts[0].astype(jnp.float32)).astype(jnp.int32), 1
+    )
+    return ((bins[:, None] == top3[None, :]) & keep_bin[None, :]).any(axis=1)
 
 
 def resolve_duplicates(matches: Matches, n_b: int) -> Matches:
