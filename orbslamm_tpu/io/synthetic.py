@@ -27,6 +27,8 @@ class SyntheticSequence:
     timestamps: np.ndarray  # [T] float64
     points_w: np.ndarray  # [P, 3] landmark field
     K: np.ndarray  # [3, 3]
+    images_right: np.ndarray | None = None  # [T, H, W] uint8 (stereo)
+    depths: np.ndarray | None = None  # [T, H, W] float32 meters, 0=invalid
 
 
 def _rot_y(a):
@@ -127,6 +129,37 @@ def render_view(
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def render_depth(
+    points_w: np.ndarray,
+    T_cw: np.ndarray,
+    cam: CameraConfig,
+    blob: int = 5,
+) -> np.ndarray:
+    """Ground-truth depth map [H, W] float32 (meters; 0 = no return).
+
+    Z-buffer splat over each landmark's sprite footprint — the depth image a
+    registered RGB-D sensor would produce for the point-sprite scene.
+    """
+    H, W = cam.height, cam.width
+    depth = np.zeros((H, W), np.float32)
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    pc = points_w @ R.T + t
+    z = pc[:, 2]
+    vis = z > 0.3
+    u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+    v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+    vis &= (u >= blob + 2) & (u < W - blob - 2) & (v >= blob + 2) & (v < H - blob - 2)
+    ui = np.floor(u[vis]).astype(np.int32)
+    vi = np.floor(v[vis]).astype(np.int32)
+    zv = z[vis]
+    order = np.argsort(zv)[::-1]  # far first, near overwrites
+    ui, vi, zv = ui[order], vi[order], zv[order]
+    for dv in range(-blob, blob + 2):
+        for du in range(-blob, blob + 2):
+            depth[vi + dv, ui + du] = zv
+    return depth
+
+
 def make_sequence(
     n_frames: int = 30,
     cam: CameraConfig | None = None,
@@ -135,6 +168,8 @@ def make_sequence(
     kidnap_at: int | None = None,
     return_at: int | None = None,
     seed: int = 0,
+    stereo: bool = False,
+    with_depth: bool = False,
 ) -> SyntheticSequence:
     """Generate a rendered sequence with ground-truth poses.
 
@@ -165,6 +200,17 @@ def make_sequence(
     poses = np.zeros((n_frames, 4, 4), np.float32)
     images = np.zeros((n_frames, cam.height, cam.width), np.uint8)
     timestamps = np.arange(n_frames, dtype=np.float64) / max(cam.fps, 1.0)
+    images_right = (
+        np.zeros((n_frames, cam.height, cam.width), np.uint8) if stereo else None
+    )
+    depths = (
+        np.zeros((n_frames, cam.height, cam.width), np.float32)
+        if with_depth
+        else None
+    )
+    baseline = cam.baseline if stereo else 0.0
+    if stereo and baseline <= 0:
+        raise ValueError("stereo sequence needs cam.bf > 0")
 
     for i in range(n_frames):
         if return_at is not None and i >= return_at:
@@ -201,8 +247,21 @@ def make_sequence(
         T[:3, 3] = t
         poses[i] = T
         images[i] = render_view(pts, T, cam, brightness, stamps=stamps, rng=rng)
+        if stereo:
+            # right camera: same orientation, center shifted by +baseline
+            # along camera x → t_r = t - R·(Rwc·[b,0,0]) = t + [-b, 0, 0]
+            Tr = T.copy()
+            Tr[0, 3] -= baseline
+            images_right[i] = render_view(
+                pts, Tr, cam, brightness, stamps=stamps, rng=rng
+            )
+        if with_depth:
+            depths[i] = render_depth(pts, T, cam)
 
-    return SyntheticSequence(images, poses, timestamps, pts, cam.K())
+    return SyntheticSequence(
+        images, poses, timestamps, pts, cam.K(),
+        images_right=images_right, depths=depths,
+    )
 
 
 def fabricate_map(

@@ -59,7 +59,11 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp):
+    def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp,
+             allow_kf=True):
+        # allow_kf: traced bool; False = localization-only mode (reference
+        # System::ActivateLocalizationMode / Tracking::mbOnlyTracking —
+        # track against the frozen map, never insert keyframes)
         feats = extract_fn(image)
         T_pred = ts.velocity @ ts.last_T
         r1 = trk.track_motion_model(
@@ -95,6 +99,7 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
             )
         )
         need_kf &= ts.n_kf < cfg.capacity.max_keyframes - 1
+        need_kf &= jnp.asarray(allow_kf)
         slot = ts.n_kf
 
         def insert(operand):

@@ -185,6 +185,68 @@ def _triangulate(cfg, m, kf_slot, ind, n_neighbors: int, max_new: int):
     return m, ind
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "close_only"))
+def create_depth_landmarks(
+    cfg,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    depth: jax.Array,  # [M] per-feature depth, -1 where unknown
+    max_new: int = 256,
+    close_only: bool = True,
+) -> ms.MapState:
+    """Spawn landmarks directly from stereo/RGB-D depth at a new keyframe.
+
+    Reference Tracking::CreateNewKeyFrame (stereo branch): unassociated
+    features with depth below mThDepth become map points immediately (plus
+    the 100 closest regardless of the cutoff when few are close);
+    Tracking::StereoInitialization creates points from ALL positive depths
+    (``close_only=False``).
+    """
+    feat_valid = m.kf_feat_valid[kf_slot]
+    obs = m.kf_obs_lm[kf_slot]
+    eligible = feat_valid & (obs < 0) & (depth > 0)
+    if close_only:
+        close = depth < cfg.camera.close_depth
+    else:
+        close = jnp.ones_like(eligible)
+    # closest-first selection (reference sorts vDepthIdx by depth)
+    key = jnp.where(eligible, -depth, -jnp.inf)
+    _, feat_idx = jax.lax.top_k(key, max_new)
+    sel_elig = eligible[feat_idx]
+    rank_ok = close[feat_idx] | (jnp.arange(max_new) < 100)
+    use = sel_elig & rank_ok
+
+    T = m.kf_pose[kf_slot]
+    Kinv = jnp.linalg.inv(m.kf_K[kf_slot])
+    uv1 = jnp.concatenate(
+        [m.kf_xy[kf_slot][feat_idx], jnp.ones((max_new, 1), jnp.float32)], axis=-1
+    )
+    Xc = depth[feat_idx][:, None] * (uv1 @ Kinv.T)
+    R, t = T[:3, :3], T[:3, 3]
+    Xw = (Xc - t) @ R  # R^T (Xc - t)
+    center = -R.T @ t
+    d_vec = Xw - center
+    dist = jnp.linalg.norm(d_vec, axis=-1)
+    normal = d_vec / jnp.maximum(dist[:, None], 1e-9)
+    lvl = m.kf_level[kf_slot][feat_idx].astype(jnp.float32)
+    dmax = dist * cfg.orb.scale_factor**lvl
+    dmin = dmax / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
+    desc = m.kf_desc[kf_slot][feat_idx]
+
+    slots = ms.free_lm_slots(m, max_new)
+    use &= ~m.lm_valid[slots]  # pool full → skip
+    m = ms.add_landmarks(m, slots, use, Xw, desc, normal, dmin, dmax, kf_slot)
+    # associate the keyframe features with their new landmarks; preserve
+    # whatever non-eligible gathered rows already held
+    existing = m.kf_obs_lm[kf_slot, feat_idx]
+    m = m._replace(
+        kf_obs_lm=m.kf_obs_lm.at[kf_slot, feat_idx].set(
+            jnp.where(use, slots, existing)
+        )
+    )
+    return m
+
+
 def _local_ba(cfg, m, kf_slot, ind, window: int, n_fixed: int, iters: int):
     """Windowed Schur BA around the new keyframe (Optimizer.cc:475).
 
@@ -231,6 +293,16 @@ def _local_ba(cfg, m, kf_slot, ind, window: int, n_fixed: int, iters: int):
         obs_uv=m.kf_xy[win].reshape(-1, 2),
         obs_sigma2=sigma2.reshape(-1),
         obs_valid=(feat_ok & win_ok[:, None]).reshape(-1),
+        # stereo edges (no-op when the map has no stereo measurements):
+        # reference adds EdgeStereoSE3ProjectXYZ for features with mvuRight
+        obs_ur=(
+            m.kf_ur[win].reshape(-1) if cfg.camera.bf > 0 else None
+        ),
+        bf=(
+            jnp.full((window,), cfg.camera.bf, jnp.float32)
+            if cfg.camera.bf > 0
+            else None
+        ),
     )
     res = ba.bundle_adjust(prob, iters=iters)
     # write back window poses (drop invalid) and landmark positions

@@ -264,6 +264,12 @@ def global_bundle_adjust(
         obs_uv=m.kf_xy.reshape(-1, 2),
         obs_sigma2=sigma2.reshape(-1),
         obs_valid=feat_ok.reshape(-1),
+        obs_ur=m.kf_ur.reshape(-1) if cfg.camera.bf > 0 else None,
+        bf=(
+            jnp.full((K,), cfg.camera.bf, jnp.float32)
+            if cfg.camera.bf > 0
+            else None
+        ),
     )
     res = ba.bundle_adjust_cg(prob, iters=iters, cg_iters=cg_iters)
     return m._replace(

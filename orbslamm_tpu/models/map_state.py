@@ -42,6 +42,8 @@ class MapState(NamedTuple):
     kf_angle: jax.Array  # [K,M] float32
     kf_feat_valid: jax.Array  # [K,M] bool
     kf_obs_lm: jax.Array  # [K,M] int32 — landmark id per feature, -1 if none
+    kf_ur: jax.Array  # [K,M] float32 — stereo right-x per feature, -1 = mono
+    # (reference KeyFrame::mvuRight; feeds the stereo BA residual)
     # --- landmarks [L, ...] ---
     lm_pos: jax.Array  # [L,3] world position
     lm_valid: jax.Array  # [L] bool
@@ -75,6 +77,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         kf_level=jnp.zeros((K, M), i32),
         kf_angle=jnp.zeros((K, M), f32),
         kf_feat_valid=jnp.zeros((K, M), bool),
+        kf_ur=jnp.full((K, M), -1.0, f32),
         kf_obs_lm=jnp.full((K, M), -1, i32),
         lm_pos=jnp.zeros((L, 3), f32),
         lm_valid=jnp.zeros(L, bool),
@@ -167,6 +170,11 @@ def insert_keyframe(
         kf_angle=m.kf_angle.at[slot].set(feats.angle),
         kf_feat_valid=m.kf_feat_valid.at[slot].set(feats.valid),
         kf_obs_lm=m.kf_obs_lm.at[slot].set(jnp.where(feats.valid, obs_lm, -1)),
+        kf_ur=m.kf_ur.at[slot].set(
+            jnp.full(feats.valid.shape, -1.0, jnp.float32)
+            if feats.u_right is None
+            else jnp.where(feats.valid, feats.u_right, -1.0)
+        ),
         n_kf=jnp.maximum(m.n_kf, slot.astype(jnp.int32) + 1),
     )
 

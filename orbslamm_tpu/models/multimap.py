@@ -120,6 +120,7 @@ def merge_maps(
         kf_angle=mA.kf_angle.at[dest].set(mB.kf_angle, mode="drop"),
         kf_feat_valid=mA.kf_feat_valid.at[dest].set(mB.kf_feat_valid, mode="drop"),
         kf_obs_lm=mA.kf_obs_lm.at[dest].set(obs_new, mode="drop"),
+        kf_ur=mA.kf_ur.at[dest].set(mB.kf_ur, mode="drop"),
         n_kf=jnp.maximum(mA.n_kf, n_kf_A + mB.n_kf),
     )
     return MergeResult(map=mA, lm_remap=lm_remap, S_AB=S_AB)

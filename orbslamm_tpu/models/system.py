@@ -129,6 +129,12 @@ class MapContext:
             self.map, slot, T_cw, K, feats, feat_lm, frame_id, timestamp
         )
         self.n_kf += 1
+        if feats.depth is not None:
+            # stereo/RGB-D: spawn close landmarks straight from depth
+            # (Tracking::CreateNewKeyFrame stereo branch)
+            self.map = lm_stage.create_depth_landmarks(
+                self.cfg, self.map, slot, feats.depth
+            )
         self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
         self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
         self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
@@ -215,6 +221,10 @@ class RobotTracker:
         self._reset_tracking()
         self.frame_id = -1
         self.on_keyframe = None  # callback(tracker, slot) — MultiMapper hook
+        # localization-only mode: track against the frozen map, never insert
+        # keyframes; on loss, relocalize (reference
+        # System::ActivateLocalizationMode, Tracking::mbOnlyTracking)
+        self.localization_only = False
         self.use_fused = True  # single-dispatch fused frame step (models/fused.py)
         # defer_sync pipelines the per-frame host sync one frame behind the
         # dispatch (streaming mode): hides the host<->device round trip at
@@ -341,6 +351,93 @@ class RobotTracker:
         for s in (0, 1):
             self.mapctx.update_bow_row(s)
 
+    def _try_initialize_depth(self, feats: Features, timestamp: float):
+        """Stereo/RGB-D bootstrap: ONE keyframe, landmarks unprojected from
+        depth (reference Tracking::StereoInitialization) — no two-view init,
+        metric scale from the sensor."""
+        cfg = self.cfg
+        n_depth = int(jnp.sum(feats.valid & (feats.depth > 0)))
+        if n_depth < cfg.tracking.min_matches_init:
+            return
+        mc = self.mapctx
+        Mfeat = feats.valid.shape[0]
+        no_obs = jnp.full((Mfeat,), -1, jnp.int32)
+        mc.map = ms.insert_keyframe(
+            mc.map, jnp.int32(0), jnp.eye(4), self.K, feats, no_obs,
+            self.frame_id, timestamp, fixed=True,
+        )
+        mc.map = lm_stage.create_depth_landmarks(
+            cfg, mc.map, jnp.int32(0), feats.depth,
+            max_new=min(Mfeat, cfg.capacity.max_landmarks), close_only=False,
+        )
+        mc.n_kf = 1
+        self.T_cw = jnp.eye(4)
+        self.last_T = self.T_cw
+        self.velocity = jnp.eye(4)
+        self.last_feats = feats
+        self.last_lm = mc.map.kf_obs_lm[0]
+        self.last_kf_inliers = n_depth
+        self.peak_inliers_since_kf = n_depth
+        self.prev_inliers = 0
+        self.state = TrackingState.OK
+        self.frames_since_kf = 0
+        mc.update_bow_row(0)
+
+    # -- stereo / RGB-D public API (System::TrackStereo / TrackRGBD) -------
+    def process_frame_stereo(self, image_left, image_right, timestamp: float):
+        from orbslamm_tpu.ops import stereo as st
+
+        imgL = jnp.asarray(image_left)
+        imgR = jnp.asarray(image_right)
+        featsR = self.extract(imgR)
+        return self._process_depth_frame(
+            imgL, timestamp,
+            lambda f: st.with_stereo(f, featsR, self.cfg.camera,
+                                     self.cfg.orb.scale_factor,
+                                     img_left=imgL, img_right=imgR),
+        )
+
+    def process_frame_rgbd(self, image, depth_image, timestamp: float):
+        from orbslamm_tpu.ops import stereo as st
+
+        depth_image = jnp.asarray(depth_image)
+        return self._process_depth_frame(
+            jnp.asarray(image), timestamp,
+            lambda f: st.with_depthmap(f, depth_image, self.cfg.camera),
+        )
+
+    def _process_depth_frame(self, img, timestamp: float, attach_depth):
+        """Shared stereo/RGB-D state machine (host tracking path)."""
+        self.frame_id += 1
+        n_inl = 0
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            feats = attach_depth(self.extract(img))
+            self.state = TrackingState.NOT_INITIALIZED
+            if self.localization_only and self.mapctx.n_kf >= 1:
+                n_inl = self._try_relocalize(feats)
+            else:
+                self._try_initialize_depth(feats, timestamp)
+        elif self.state == TrackingState.OK:
+            feats = attach_depth(self.extract(img))
+            n_inl = self._track(feats, timestamp)
+            if n_inl < self.cfg.tracking.min_inliers_local_map:
+                self.state = TrackingState.LOST
+        elif self.state == TrackingState.LOST and (
+            not self.cfg.multi_mapping or self.localization_only
+        ):
+            feats = attach_depth(self.extract(img))
+            n_inl = self._try_relocalize(feats)
+        rec = FrameRecord(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            T_cw=np.asarray(self.T_cw),
+            state=self.state.name,
+            n_inliers=n_inl,
+            map_id=self.mapctx.map_id,
+        )
+        self.frames.append(rec)
+        return rec
+
     # -- tracking ----------------------------------------------------------
     def _track(self, feats: Features, timestamp: float) -> int:
         cfg = self.cfg
@@ -380,7 +477,7 @@ class RobotTracker:
             and n2 > 15
             and n2 < cfg.tracking.new_kf_tracked_ratio * self.peak_inliers_since_kf
         )
-        if need and mc.n_kf < cfg.capacity.max_keyframes - 1:
+        if need and not self.localization_only and mc.n_kf < cfg.capacity.max_keyframes - 1:
             slot = mc.insert_keyframe(
                 self.T_cw, self.K, feats, r2.feat_lm, self.frame_id, timestamp
             )
@@ -432,7 +529,8 @@ class RobotTracker:
         if self._ts is None:
             self._ts = self._make_ts()
         m, ts_next, summary = self._frame_step(
-            mc.map, self._ts, img, jnp.int32(self.frame_id), jnp.float32(timestamp)
+            mc.map, self._ts, img, jnp.int32(self.frame_id), jnp.float32(timestamp),
+            jnp.asarray(not self.localization_only),
         )
         mc.map = m
         self._ts = ts_next
@@ -469,9 +567,16 @@ class RobotTracker:
         img = jnp.asarray(image)
         n_inl = 0
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            feats = self.extract_init(img)
-            self.state = TrackingState.NOT_INITIALIZED
-            self._try_initialize(feats, timestamp)
+            if self.localization_only and self.mapctx.n_kf >= 2:
+                # localization mode on a pre-built (e.g. loaded) map: skip
+                # two-view init, localize straight against the KF database
+                feats = self.extract(img)
+                self.state = TrackingState.NOT_INITIALIZED
+                n_inl = self._try_relocalize(feats)
+            else:
+                feats = self.extract_init(img)
+                self.state = TrackingState.NOT_INITIALIZED
+                self._try_initialize(feats, timestamp)
         elif self.state == TrackingState.OK and self.use_fused:
             n_inl = self._track_fused(img, timestamp)
             if n_inl < self.cfg.tracking.min_inliers_local_map:
@@ -481,10 +586,12 @@ class RobotTracker:
             n_inl = self._track(feats, timestamp)
             if n_inl < self.cfg.tracking.min_inliers_local_map:
                 self.state = TrackingState.LOST
-        elif self.state == TrackingState.LOST and not self.cfg.multi_mapping:
-            # single-map mode: relocalize against the keyframe database
-            # (Tracking::Relocalization — with multi-mapping ON the owner
-            # spawns a new map instead, Tracking.cc:330-366)
+        elif self.state == TrackingState.LOST and (
+            not self.cfg.multi_mapping or self.localization_only
+        ):
+            # single-map / localization mode: relocalize against the keyframe
+            # database (Tracking::Relocalization — with multi-mapping ON the
+            # owner spawns a new map instead, Tracking.cc:330-366)
             feats = self.extract(img)
             n_inl = self._try_relocalize(feats)
         rec = FrameRecord(
@@ -537,6 +644,16 @@ class MonocularSession:
     def T_cw(self):
         return self.tracker.T_cw
 
+    def activate_localization_mode(self):
+        """Freeze the map; track + relocalize only (System.cc:375
+        ActivateLocalizationMode / Tracking::InformOnlyTracking)."""
+        self.tracker._sync_from_ts()
+        self.tracker.mapctx.ensure_vocabulary()  # reloc needs the KF database
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
     def process_frame(self, image, timestamp):
         mc = self.tracker.mapctx
         if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
@@ -567,3 +684,43 @@ class MonocularSession:
         s["state"] = self.tracker.state.name
         s["frames"] = len(self.frames)
         return s
+
+
+@dataclass
+class StereoSession(MonocularSession):
+    """Rectified-stereo facade (System::TrackStereo analog): metric scale
+    from the baseline, one-keyframe bootstrap, depth-spawned close points."""
+
+    def __post_init__(self):
+        if self.cfg.camera.bf <= 0:
+            raise ValueError("StereoSession needs camera.bf > 0")
+        self.cfg = self.cfg.replace(sensor="stereo")
+        super().__post_init__()
+
+    def process_frame(self, image_left, image_right, timestamp):
+        mc = self.tracker.mapctx
+        if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
+            mc.ensure_vocabulary()
+        if not self.enable_loop_closing:
+            mc.try_close_loop = lambda slot, key: False
+        return self.tracker.process_frame_stereo(image_left, image_right, timestamp)
+
+
+@dataclass
+class RGBDSession(MonocularSession):
+    """RGB-D facade (System::TrackRGBD analog): depth image registered to the
+    RGB frame, virtual right coordinate u - bf/d (Frame::ComputeStereoFromRGBD)."""
+
+    def __post_init__(self):
+        if self.cfg.camera.bf <= 0:
+            raise ValueError("RGBDSession needs camera.bf > 0")
+        self.cfg = self.cfg.replace(sensor="rgbd")
+        super().__post_init__()
+
+    def process_frame(self, image, depth_image, timestamp):
+        mc = self.tracker.mapctx
+        if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
+            mc.ensure_vocabulary()
+        if not self.enable_loop_closing:
+            mc.try_close_loop = lambda slot, key: False
+        return self.tracker.process_frame_rgbd(image, depth_image, timestamp)

@@ -98,7 +98,8 @@ def track_motion_model(
     # both basins optimized IN PARALLEL (vmap) — halves the serial LM length
     both = jax.vmap(
         lambda T0: ba.pose_optimize(
-            T0, K, pos_f, feats.xy, use, sigma2=s2
+            T0, K, pos_f, feats.xy, use, sigma2=s2,
+            ur_obs=feats.u_right, bf=cfg.camera.bf,
         )
     )(jnp.stack([T_pred, T_last]))
     a_wins = both.n_inliers[0] >= both.n_inliers[1]
@@ -198,6 +199,7 @@ def track_local_map(
     opt = ba.pose_optimize(
         T_cw, K, pos_f, feats.xy, use,
         sigma2=_sigma2(feats.level, cfg.orb.scale_factor, cfg.tracking.pixel_noise),
+        ur_obs=feats.u_right, bf=cfg.camera.bf,
     )
     feat_lm = jnp.where(opt.inliers, feat_lm, -1)
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from orbslamm_tpu.ops import geometry as geo
 
 CHI2_MONO = 5.991  # 2-DoF 95% (reference Optimizer.cc chi2Mono)
+CHI2_STEREO = 7.815  # 3-DoF 95% (reference Optimizer.cc chi2Stereo)
 
 
 def _project_and_residual(T_cw, K, pts_w, uv_obs):
@@ -71,24 +72,62 @@ def pose_optimize(
     sigma2: jax.Array | float = 1.0,
     rounds: int = 4,
     iters: int = 10,
-    chi2_th: float = CHI2_MONO,
+    chi2_th: float | jax.Array = CHI2_MONO,
+    ur_obs: jax.Array | None = None,
+    bf: float = 0.0,
 ) -> PoseOptResult:
     """Motion-only bundle adjustment (reference Optimizer::PoseOptimization).
 
     pts_w [N,3] world landmarks, uv_obs [N,2] their measured pixels, valid
     [N] observation mask, sigma2 per-observation measurement variance
     (1.2^(2*octave) in the reference's pyramid noise model).
+
+    ur_obs [N] optional stereo right-x measurements (-1 = mono observation):
+    adds the reference's stereo residual u_r = u - bf/z as a third row
+    (EdgeStereoSE3ProjectXYZOnlyPose) — this is what pins METRIC scale every
+    frame in stereo/RGB-D mode. chi2 gating switches to the 3-DoF threshold
+    on stereo rows automatically.
     """
     sigma2 = jnp.broadcast_to(jnp.asarray(sigma2, jnp.float32), valid.shape)
     inv_s2 = 1.0 / sigma2
+    has_ur = None
+    if ur_obs is not None:
+        has_ur = ur_obs >= 0.0
+        chi2_th = jnp.where(has_ur, CHI2_STEREO, chi2_th)
     delta_h = jnp.sqrt(chi2_th * sigma2)  # Huber threshold per obs (pixels)
+
+    def residual(T):
+        r, pc = _project_and_residual(T, K, pts_w, uv_obs)
+        if ur_obs is None:
+            return r, pc
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        uv = r + uv_obs  # projected uv
+        r3 = (uv[..., 0] - bf / z - ur_obs) * has_ur
+        return jnp.concatenate([r, r3[..., None]], axis=-1), pc
+
+    def jac(pc):
+        J = _pose_jacobian(K, pc)  # [N,2,6]
+        if ur_obs is None:
+            return J
+        fx = K[0, 0]
+        x, z = pc[..., 0], pc[..., 2]
+        zi = 1.0 / jnp.maximum(z, 1e-6)
+        zi2 = zi * zi
+        # d(u_r)/dpc = d(u)/dpc + [0, 0, bf/z^2]
+        du_r = jnp.stack([fx * zi, jnp.zeros_like(x), -fx * x * zi2 + bf * zi2],
+                         axis=-1)  # [N,3]
+        px = geo.skew(pc)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), px.shape)
+        dpc = jnp.concatenate([eye, -px], axis=-1)  # [N,3,6]
+        J3 = (du_r[..., None, :] @ dpc)[..., 0, :] * has_ur[..., None]  # [N,6]
+        return jnp.concatenate([J, J3[..., None, :]], axis=-2)  # [N,3,6]
 
     def lm_iter(carry, _):
         T, lam, mask = carry
-        r, pc = _project_and_residual(T, K, pts_w, uv_obs)
+        r, pc = residual(T)
         behind = pc[..., 2] < 1e-3
         use = mask & ~behind
-        J = _pose_jacobian(K, pc)  # [N,2,6]
+        J = jac(pc)  # [N,D,6]
         rn = jnp.linalg.norm(r, axis=-1)
         # Huber IRLS weight * information
         w = jnp.where(rn > delta_h, delta_h / jnp.maximum(rn, 1e-9), 1.0) * inv_s2
@@ -101,7 +140,7 @@ def pose_optimize(
         T_new = geo.se3_exp(dx) @ T
         # accept if robust cost decreased
         def cost(Tc):
-            rr, pcc = _project_and_residual(Tc, K, pts_w, uv_obs)
+            rr, pcc = residual(Tc)
             rrn2 = jnp.sum(rr * rr, axis=-1) * inv_s2
             hub = jnp.where(
                 rrn2 <= chi2_th, rrn2, 2.0 * jnp.sqrt(chi2_th * rrn2) - chi2_th
@@ -116,7 +155,7 @@ def pose_optimize(
         return (T, lam, mask), None
 
     def chi2_mask(T):
-        r, pc = _project_and_residual(T, K, pts_w, uv_obs)
+        r, pc = residual(T)
         chi2 = jnp.sum(r * r, axis=-1) * inv_s2
         return valid & (chi2 <= chi2_th) & (pc[..., 2] > 1e-3)
 
@@ -152,6 +191,11 @@ class BAProblem(NamedTuple):
     obs_uv: jax.Array  # [E,2]
     obs_sigma2: jax.Array  # [E]
     obs_valid: jax.Array  # [E] bool
+    # stereo extension (reference EdgeStereoSE3ProjectXYZ): right-x
+    # measurement per observation (-1 = mono edge) and per-camera
+    # baseline*fx. None → pure monocular problem (unchanged trace).
+    obs_ur: jax.Array | None = None  # [E]
+    bf: jax.Array | None = None  # [C]
 
 
 class BAResult(NamedTuple):
@@ -167,11 +211,20 @@ def _ba_residuals(T_cw, K, points, p: BAProblem):
     pw = points[p.obs_point]
     pc = jnp.einsum("eij,ej->ei", Tc[:, :3, :3], pw) + Tc[:, :3, 3]
     uv = geo.project(Kc, pc)
-    return uv - p.obs_uv, pc, Tc, Kc
+    r = uv - p.obs_uv
+    if p.obs_ur is not None:
+        # stereo third row: (u - bf/z) - u_r_obs, zeroed on mono edges
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        bf_e = p.bf[p.obs_cam]
+        has = p.obs_ur >= 0.0
+        r3 = (uv[:, 0] - bf_e / z - p.obs_ur) * has
+        r = jnp.concatenate([r, r3[:, None]], axis=-1)  # [E,3]
+    return r, pc, Tc, Kc
 
 
-def _ba_jacobians(Kc, Tc, pc):
-    """Per-edge J wrt camera twist [E,2,6] and wrt point [E,2,3]."""
+def _ba_jacobians(Kc, Tc, pc, p: BAProblem):
+    """Per-edge J wrt camera twist [E,D,6] and wrt point [E,D,3]
+    (D=2 mono, D=3 with the stereo u_r row)."""
     fx, fy = Kc[:, 0, 0], Kc[:, 1, 1]
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
     zi = 1.0 / jnp.maximum(z, 1e-6)
@@ -179,12 +232,26 @@ def _ba_jacobians(Kc, Tc, pc):
     zero = jnp.zeros_like(x)
     du = jnp.stack([fx * zi, zero, -fx * x * zi2], axis=-1)
     dv = jnp.stack([zero, fy * zi, -fy * y * zi2], axis=-1)
-    dpd = jnp.stack([du, dv], axis=-2)  # [E,2,3]
+    rows = [du, dv]
+    if p.obs_ur is not None:
+        bf_e = p.bf[p.obs_cam]
+        has = (p.obs_ur >= 0.0).astype(pc.dtype)
+        # d(u - bf/z)/dpc = du/dpc + [0, 0, bf/z^2]
+        dur = jnp.stack([fx * zi, zero, -fx * x * zi2 + bf_e * zi2], axis=-1)
+        rows.append(dur * has[:, None])
+    dpd = jnp.stack(rows, axis=-2)  # [E,D,3]
     px = geo.skew(pc)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), px.shape)
-    Jc = dpd @ jnp.concatenate([eye, -px], axis=-1)  # [E,2,6]
-    Jp = dpd @ Tc[:, :3, :3]  # [E,2,3]
+    Jc = dpd @ jnp.concatenate([eye, -px], axis=-1)  # [E,D,6]
+    Jp = dpd @ Tc[:, :3, :3]  # [E,D,3]
     return Jc, Jp
+
+
+def _chi2_per_edge(p: BAProblem, chi2_th):
+    """Per-edge chi2 gate: 3-DoF threshold on stereo edges."""
+    if p.obs_ur is None:
+        return chi2_th
+    return jnp.where(p.obs_ur >= 0.0, CHI2_STEREO, chi2_th)
 
 
 def _robust_weights(r, sigma2, use, chi2_th):
@@ -219,14 +286,15 @@ def bundle_adjust(
     """
     C = p.T_cw.shape[0]
     E = p.obs_cam.shape[0]
+    chi2_e = _chi2_per_edge(p, chi2_th)
 
     def step(carry, it):
         T_cw, points, lam = carry
         r, pc, Tc, Kc = _ba_residuals(T_cw, K=p.K, points=points, p=p)
         use = p.obs_valid & (pc[:, 2] > 1e-3) \
             & p.cam_valid[p.obs_cam] & p.point_valid[p.obs_point]
-        w = _robust_weights(r, p.obs_sigma2, use, chi2_th)
-        Jc, Jp = _ba_jacobians(Kc, Tc, pc)
+        w = _robust_weights(r, p.obs_sigma2, use, chi2_e)
+        Jc, Jp = _ba_jacobians(Kc, Tc, pc, p)
         # zero out fixed cameras' jacobians → no update, no Schur coupling
         free = ~p.cam_fixed
         Jc = Jc * free[p.obs_cam][:, None, None]
@@ -281,8 +349,8 @@ def bundle_adjust(
         T_new = jnp.where(lock[:, None, None], T_cw, T_new)
         pts_new = points + dp
 
-        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_th)
-        c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_th)
+        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_e)
+        c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_e)
         finite = jnp.isfinite(c_new) & jnp.isfinite(T_new).all() & jnp.isfinite(pts_new).all()
         better = (c_new < c_old) & finite
         T_cw = jnp.where(better, T_new, T_cw)
@@ -295,7 +363,7 @@ def bundle_adjust(
     )
     r, pc, _, _ = _ba_residuals(T_cw, p.K, points, p)
     chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
-    inlier = p.obs_valid & (chi2 <= chi2_th) & (pc[:, 2] > 1e-3)
+    inlier = p.obs_valid & (chi2 <= chi2_e) & (pc[:, 2] > 1e-3)
     return BAResult(T_cw=T_cw, points=points, obs_inlier=inlier, cost=costs[-1])
 
 
@@ -413,14 +481,15 @@ def bundle_adjust_cg(
     """
     C = p.T_cw.shape[0]
     Pn = p.points.shape[0]
+    chi2_e = _chi2_per_edge(p, chi2_th)
 
     def step(carry, _):
         T_cw, points, lam = carry
         r, pc, Tc, Kc = _ba_residuals(T_cw, K=p.K, points=points, p=p)
         use = p.obs_valid & (pc[:, 2] > 1e-3) \
             & p.cam_valid[p.obs_cam] & p.point_valid[p.obs_point]
-        w = _robust_weights(r, p.obs_sigma2, use, chi2_th)
-        Jc, Jp = _ba_jacobians(Kc, Tc, pc)
+        w = _robust_weights(r, p.obs_sigma2, use, chi2_e)
+        Jc, Jp = _ba_jacobians(Kc, Tc, pc, p)
         free = ~p.cam_fixed
         Jc = Jc * free[p.obs_cam][:, None, None]
         wJc = Jc * w[:, None, None]
@@ -503,8 +572,8 @@ def bundle_adjust_cg(
         T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, T_cw)
         T_new = jnp.where(lock[:, None, None], T_cw, T_new)
         pts_new = points + dp
-        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_th)
-        c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_th)
+        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_e)
+        c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_e)
         finite = jnp.isfinite(c_new) & jnp.isfinite(T_new).all() & jnp.isfinite(pts_new).all()
         better = (c_new < c_old) & finite
         T_cw = jnp.where(better, T_new, T_cw)
@@ -517,5 +586,5 @@ def bundle_adjust_cg(
     )
     r, pc, _, _ = _ba_residuals(T_cw, p.K, points, p)
     chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
-    inlier = p.obs_valid & (chi2 <= chi2_th) & (pc[:, 2] > 1e-3)
+    inlier = p.obs_valid & (chi2 <= chi2_e) & (pc[:, 2] > 1e-3)
     return BAResult(T_cw=T_cw, points=points, obs_inlier=inlier, cost=costs[-1])

@@ -61,6 +61,10 @@ class Features(NamedTuple):
     level: jax.Array  # [M] int32 pyramid octave
     desc: jax.Array  # [M, 32] uint8 — 256-bit descriptor
     valid: jax.Array  # [M] bool
+    # stereo / RGB-D extensions (reference Frame::mvuRight / mvDepth) —
+    # None for monocular frames; filled by ops/stereo.py
+    u_right: jax.Array | None = None  # [M] float32, -1 where no stereo match
+    depth: jax.Array | None = None  # [M] float32, -1 where unknown
 
     @property
     def capacity(self) -> int:

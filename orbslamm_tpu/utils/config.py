@@ -37,6 +37,20 @@ class CameraConfig:
     rgb: int = 1
     width: int = 640
     height: int = 480
+    # stereo / RGB-D (reference YAML Camera.bf, ThDepth, DepthMapFactor —
+    # e.g. Examples/RGB-D settings; Tracking.cc:100-117 reads them)
+    bf: float = 0.0  # baseline [m] × fx [px] — 0 means monocular
+    th_depth: float = 40.0  # close/far cutoff = bf*th_depth/fx meters
+    depth_map_factor: float = 5000.0  # raw depth units per meter (TUM PNGs)
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx if self.fx else 0.0
+
+    @property
+    def close_depth(self) -> float:
+        """Depth below which a single observation is trusted (mThDepth)."""
+        return self.bf * self.th_depth / self.fx if self.fx else 0.0
 
     def K(self):
         import numpy as np
@@ -144,6 +158,7 @@ class SlamConfig:
     loop: LoopConfig = field(default_factory=LoopConfig)
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
     multi_mapping: bool = True  # ORBSLAMM mode: new map on loss + merge
+    sensor: str = "mono"  # "mono" | "stereo" | "rgbd" (System eSensor analog)
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
@@ -199,6 +214,9 @@ def load_settings(path: str | Path, base: SlamConfig | None = None) -> SlamConfi
         rgb=int(raw.get("Camera.RGB", cfg.camera.rgb)),
         width=int(raw.get("Camera.width", cfg.camera.width)),
         height=int(raw.get("Camera.height", cfg.camera.height)),
+        bf=g("Camera.bf", cfg.camera.bf),
+        th_depth=g("ThDepth", cfg.camera.th_depth),
+        depth_map_factor=g("DepthMapFactor", cfg.camera.depth_map_factor),
     )
     n_feat = int(raw.get("ORBextractor.nFeatures", cfg.orb.n_features))
     orb = dataclasses.replace(

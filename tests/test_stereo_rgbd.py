@@ -1,0 +1,144 @@
+"""Stereo and RGB-D sensor paths.
+
+Reference parity targets: Frame::ComputeStereoMatches (rectified row-banded
+descriptor matching → disparity → depth), Frame::ComputeStereoFromRGBD
+(registered depth lookup, virtual right coord), Tracking::StereoInitialization
+(one-keyframe bootstrap with metric scale), and the stereo branch of
+Tracking::CreateNewKeyFrame (close landmarks spawned from depth).
+
+The decisive property over monocular: METRIC scale. ATE here is checked with
+SE3 alignment (no scale fitting) — a monocular pipeline cannot pass that.
+"""
+
+import numpy as np
+import pytest
+
+from orbslamm_tpu.eval.ate import ate_from_poses
+from orbslamm_tpu.io.synthetic import make_sequence
+from orbslamm_tpu.models.system import RGBDSession, StereoSession
+from orbslamm_tpu.utils.config import (
+    CameraConfig,
+    CapacityConfig,
+    OrbConfig,
+    SlamConfig,
+    TrackingConfig,
+)
+
+# bf = 0.5m baseline * fx=260 = 130 → disparity 9-32px over the 4-14m field;
+# close cutoff bf*th_depth/fx = 30m covers the whole scene
+CAM = CameraConfig(
+    width=320, height=240, fx=260, fy=260, cx=160, cy=120, fps=30,
+    bf=130.0, th_depth=60.0, depth_map_factor=1.0,
+)
+CFG = SlamConfig(
+    camera=CAM,
+    orb=OrbConfig(n_features=400, max_keypoints=1024, n_levels=4),
+    capacity=CapacityConfig(max_keyframes=64, max_landmarks=4096),
+    tracking=TrackingConfig(
+        pixel_noise=1.2,
+        min_matches_init=60,
+        init_min_triangulated=30,
+        init_min_parallax_deg=0.4,
+    ),
+)
+
+
+def test_stereo_matching_depth_accuracy():
+    """Left/right descriptor match recovers metric depth of the GT field."""
+    import jax.numpy as jnp
+
+    from orbslamm_tpu.ops import stereo as st
+    from orbslamm_tpu.ops.orb import make_extractor
+
+    seq = make_sequence(
+        n_frames=1, n_points=900, cam=CAM, seed=3, motion="forward",
+        stereo=True, with_depth=True,
+    )
+    extract = make_extractor(CFG.orb, CAM)
+    imgL = jnp.asarray(seq.images[0])
+    imgR = jnp.asarray(seq.images_right[0])
+    fL = extract(imgL)
+    fR = extract(imgR)
+    fS = st.with_stereo(fL, fR, CAM, CFG.orb.scale_factor,
+                        img_left=imgL, img_right=imgR)
+    d = np.asarray(fS.depth)
+    ok = d > 0
+    assert ok.sum() >= 100, f"only {ok.sum()} stereo matches"
+    # compare against the rendered GT depth map at the keypoint pixels
+    xy = np.asarray(fL.xy_raw)[ok]
+    gt = seq.depths[0][
+        np.clip(np.round(xy[:, 1]).astype(int), 0, CAM.height - 1),
+        np.clip(np.round(xy[:, 0]).astype(int), 0, CAM.width - 1),
+    ]
+    has_gt = gt > 0
+    rel = np.abs(d[ok][has_gt] - gt[has_gt]) / gt[has_gt]
+    assert np.median(rel) < 0.05, f"median relative depth error {np.median(rel):.3f}"
+
+
+def test_rgbd_depth_association():
+    import jax.numpy as jnp
+
+    from orbslamm_tpu.ops import stereo as st
+    from orbslamm_tpu.ops.orb import make_extractor
+
+    seq = make_sequence(
+        n_frames=1, n_points=900, cam=CAM, seed=3, motion="forward",
+        with_depth=True,
+    )
+    extract = make_extractor(CFG.orb, CAM)
+    f = extract(jnp.asarray(seq.images[0]))
+    fD = st.with_depthmap(f, jnp.asarray(seq.depths[0]), CAM)
+    d = np.asarray(fD.depth)
+    uR = np.asarray(fD.u_right)
+    ok = d > 0
+    assert ok.sum() >= 150
+    # virtual right coordinate honors u_r = u - bf/d
+    u = np.asarray(f.xy)[:, 0]
+    np.testing.assert_allclose(uR[ok], u[ok] - CAM.bf / d[ok], rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_rgbd_session_metric_scale():
+    """RGB-D session: one-KF bootstrap, metric-scale trajectory (SE3 ATE)."""
+    seq = make_sequence(
+        n_frames=30, n_points=900, cam=CAM, seed=7, motion="forward",
+        with_depth=True,
+    )
+    sess = RGBDSession(CFG)
+    lost = 0
+    for i in range(len(seq.images)):
+        rec = sess.process_frame(
+            seq.images[i], seq.depths[i], float(seq.timestamps[i])
+        )
+        if rec.state == "LOST":
+            lost += 1
+    assert lost <= 5, f"tracking lost {lost} frames"
+    assert sess.n_kf >= 2
+    ts, est = sess.frame_trajectory()
+    assert len(est) > 20
+    idx = [int(round(t * CAM.fps)) for t in ts]
+    ate_se3 = ate_from_poses(est, seq.poses_cw[idx], align="se3")
+    assert ate_se3 < 0.15, f"SE3 (metric) ATE {ate_se3:.3f}"
+
+
+@pytest.mark.slow
+def test_stereo_session_tracks():
+    seq = make_sequence(
+        n_frames=24, n_points=900, cam=CAM, seed=11, motion="strafe",
+        stereo=True,
+    )
+    sess = StereoSession(CFG)
+    lost = 0
+    for i in range(len(seq.images)):
+        rec = sess.process_frame(
+            seq.images[i], seq.images_right[i], float(seq.timestamps[i])
+        )
+        if rec.state == "LOST":
+            lost += 1
+    assert lost <= 4, f"tracking lost {lost} frames"
+    assert sess.n_kf >= 1
+    ts, est = sess.frame_trajectory()
+    assert len(est) > 15
+    idx = [int(round(t * CAM.fps)) for t in ts]
+    ate_se3 = ate_from_poses(est, seq.poses_cw[idx], align="se3")
+    assert ate_se3 < 0.2, f"SE3 (metric) ATE {ate_se3:.3f}"
