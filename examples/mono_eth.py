@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""EuRoC/ETH monocular driver (reference Examples/Monocular/mono_eth.cc).
+
+Usage: mono_eth.py path_to_settings path_to_sequence [1_for_multi_maps]
+Like the reference (mono_eth.cc:80-101), --two-robots splits the sequence in
+half and runs both halves concurrently through one MultiMapper.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from orbslamm_tpu.driver import RobotFeed, autodetect_image_size, run_robots
+from orbslamm_tpu.io.datasets import load_euroc_sequence
+from orbslamm_tpu.utils.config import load_settings
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("sequence", help="EuRoC cam folder containing data.csv + data/")
+    ap.add_argument("multi_maps", nargs="?", default="1")
+    ap.add_argument("--two-robots", action="store_true")
+    ap.add_argument("--out", default="out_eth")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = load_settings(args.settings)
+    cfg = cfg.replace(multi_mapping=args.multi_maps == "1")
+    seq = load_euroc_sequence(args.sequence)
+    n = len(seq) if not args.max_frames else min(len(seq), args.max_frames)
+    cfg = autodetect_image_size(cfg, seq.frame(0))
+
+    def frames(lo, hi):
+        for i in range(lo, hi):
+            yield seq.timestamps[i], seq.frame(i)
+
+    if args.two_robots:
+        half = n // 2
+        feeds = [RobotFeed(frames(0, half), "robot0"),
+                 RobotFeed(frames(half, n), "robot1")]
+    else:
+        feeds = [RobotFeed(frames(0, n), "robot0")]
+    run_robots(cfg, feeds, out_dir=args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,81 @@ def load_kitti_sequence(seq_dir: str | Path, camera: int = 0) -> ImageSequence:
     img_dir = seq_dir / f"image_{camera}"
     paths = [img_dir / f"{i:06d}.png" for i in range(len(stamps))]
     return ImageSequence(paths, stamps, name=seq_dir.name)
+
+
+def load_euroc_sequence(seq_dir: str | Path) -> ImageSequence:
+    """EuRoC/ETH camera folder: ``<seq>/data.csv`` lines ``t_ns,filename``
+    with images under ``<seq>/data/`` (mono_eth.cc LoadImages + :70).
+    Nanosecond timestamps are converted to seconds."""
+    seq_dir = Path(seq_dir)
+    paths: list[Path] = []
+    stamps: list[float] = []
+    for line in (seq_dir / "data.csv").read_text().splitlines()[1:]:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        t_str, name = [x.strip() for x in line.split(",")[:2]]
+        t = float(t_str)
+        stamps.append(t * 1e-9 if t > 1e14 else t)
+        paths.append(seq_dir / "data" / name)
+    return ImageSequence(paths, np.asarray(stamps), name=seq_dir.name)
+
+
+def load_newcollege_sequence(seq_dir: str | Path) -> ImageSequence:
+    """New College: ``<seq>/times.txt`` + ``<seq>/right/filenames.txt``
+    (mono_NewCollege.cc:127-157)."""
+    seq_dir = Path(seq_dir)
+    stamps = [
+        float(s.split()[0])
+        for s in (seq_dir / "times.txt").read_text().splitlines()
+        if s.strip()
+    ]
+    names = [
+        s.split()[0]
+        for s in (seq_dir / "right" / "filenames.txt").read_text().splitlines()
+        if s.strip()
+    ]
+    n = min(len(stamps), len(names))
+    paths = [seq_dir / "right" / name for name in names[:n]]
+    return ImageSequence(paths, np.asarray(stamps[:n]), name=seq_dir.name)
+
+
+def load_agz_sequence(seq_dir: str | Path, stride: int = 5) -> ImageSequence:
+    """AGZ (Zurich urban MAV): ``<seq>/filenames.txt`` naming images in
+    ``<seq>/MAVImages/``; synthetic 10 Hz timestamps, every ``stride``-th
+    frame processed (mono_AGZ.cc LoadImages + main loop ``ni+=5``)."""
+    seq_dir = Path(seq_dir)
+    names = [
+        s.split()[0]
+        for s in (seq_dir / "filenames.txt").read_text().splitlines()
+        if s.strip()
+    ]
+    paths = [seq_dir / "MAVImages" / n for n in names]
+    stamps = np.arange(len(paths), dtype=np.float64) * 0.1
+    return ImageSequence(paths[::stride], stamps[::stride], name=seq_dir.name)
+
+
+def video_capture_frames(source: int | str, max_frames: int = 0):
+    """Live-camera ingestion: yields (timestamp, gray) from an OpenCV
+    ``VideoCapture`` (device index or file/URL). This is the mono_Bebop.cc:56
+    path — the Bebop H.264→FIFO→v4l2loopback plumbing (SettingUpBebop/,
+    Thirdparty/v4l2loopback/) collapses to whatever V4L2 device OpenCV sees."""
+    import time
+
+    import cv2  # gated: live capture requires OpenCV
+
+    cap = cv2.VideoCapture(source)
+    if not cap.isOpened():
+        raise RuntimeError(f"could not open video source {source!r}")
+    n = 0
+    try:
+        while not max_frames or n < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if frame.ndim == 3:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            yield time.monotonic(), frame
+            n += 1
+    finally:
+        cap.release()
