@@ -20,6 +20,7 @@ import dataclasses
 from orbslamm_tpu.models.multimap import MultiMapper
 from orbslamm_tpu.io import trajectory as tio
 from orbslamm_tpu.utils.config import SlamConfig
+from orbslamm_tpu.utils.trace import get_tracer
 
 
 def autodetect_image_size(cfg: SlamConfig, sample_image) -> SlamConfig:
@@ -113,6 +114,13 @@ def run_robots(
                 f"mean {s['mean_s']*1e3:.1f} ms ({s['fps']:.1f} fps)"
             )
         print(f"[driver] final: {mm.summary()}")
+        stages = get_tracer().stage_summary()
+        for name in ("track", "local_mapping", "loop_detect", "loop_correct",
+                     "merge_scan", "merge"):
+            if name in stages:
+                s = stages[name]
+                print(f"[trace] {name}: n={s['count']} median={s['median_ms']}ms "
+                      f"p90={s['p90_ms']}ms total={s['total_s']}s")
     return mm, report
 
 
@@ -142,3 +150,6 @@ def save_outputs(mm: MultiMapper, out_dir: str | Path) -> None:
             viz.draw_map(mc.map, out / f"map{mc.map_id}.png",
                          title=f"map {mc.map_id}")
     serialize.save_session(out / "maps", mm)
+    tr = get_tracer()
+    tr.save_report(out / "trace_report.json")
+    tr.save_events(out / "events.jsonl")

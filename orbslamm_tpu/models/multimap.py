@@ -30,6 +30,7 @@ from orbslamm_tpu.models import local_mapping as lm_stage
 from orbslamm_tpu.models import loop_closing as lc_stage
 from orbslamm_tpu.models import map_state as ms
 from orbslamm_tpu.models.system import MapContext, RobotTracker, TrackingState
+from orbslamm_tpu.utils.trace import get_tracer
 from orbslamm_tpu.ops import bow, geometry as geo
 from orbslamm_tpu.utils.config import SlamConfig
 
@@ -157,12 +158,17 @@ class MultiMapper:
     # -- per-frame driver --------------------------------------------------
     def process_frame(self, robot_idx: int, image, timestamp):
         t = self.robots[robot_idx]
-        rec = t.process_frame(image, timestamp)
+        tr = get_tracer()
+        with tr.span("track", robot=t.name):
+            rec = t.process_frame(image, timestamp)
         if t.state == TrackingState.LOST and self.cfg.multi_mapping:
             if t.mapctx.n_kf >= self.cfg.tracking.min_kfs_for_new_map:
                 # keep the orphan map; continue mapping in a brand-new one
                 # (the ORBSLAMM signature, Tracking.cc:330-366)
                 t.switch_map(self.new_map())
+                tr.incr("new_maps_on_loss")
+                tr.event("new_map_on_loss", robot=t.name,
+                         map_id=t.mapctx.map_id, ts=float(timestamp))
             else:
                 # early loss → reset the young map (Tracking.cc:520-528)
                 t.mapctx.map = ms.empty_map(self.cfg)
@@ -194,6 +200,11 @@ class MultiMapper:
         mcB = tracker.mapctx
         if mcB.n_kf < cfg.loop.min_kfs_for_merge or mcB.kf_bow is None:
             return False
+        with get_tracer().span("merge_scan", robot=tracker.name):
+            return self._merge_scan(mcB, slot)
+
+    def _merge_scan(self, mcB: MapContext, slot: int) -> bool:
+        cfg = self.cfg
         vB = mcB.kf_bow[slot]
         for mcA in self.live_maps():
             if mcA is mcB or mcA.kf_bow is None:
@@ -219,6 +230,14 @@ class MultiMapper:
         return False
 
     def _do_merge(self, mcA: MapContext, mcB: MapContext, S_cam, slot_b: int, slot_a: int):
+        tr = get_tracer()
+        tr.event("map_merge", absorbed=mcB.map_id, base=mcA.map_id,
+                 slot_b=slot_b, slot_a=slot_a)
+        tr.incr("map_merges")
+        with tr.span("merge", absorbed=mcB.map_id, base=mcA.map_id):
+            self._do_merge_inner(mcA, mcB, S_cam, slot_b, slot_a)
+
+    def _do_merge_inner(self, mcA: MapContext, mcB: MapContext, S_cam, slot_b: int, slot_a: int):
         cfg = self.cfg
         nA = mcA.n_kf
         res = merge_maps(

@@ -35,6 +35,7 @@ from orbslamm_tpu.models import tracking as trk
 from orbslamm_tpu.models import fused
 from orbslamm_tpu.ops import bow, geometry as geo, orb as orb_ops, ransac
 from orbslamm_tpu.ops.orb import Features
+from orbslamm_tpu.utils.trace import get_tracer
 from orbslamm_tpu.utils.config import SlamConfig
 
 
@@ -124,22 +125,27 @@ class MapContext:
 
     # -- keyframe insertion + mapping stages ------------------------------
     def insert_keyframe(self, T_cw, K, feats: Features, feat_lm, frame_id, timestamp):
+        tr = get_tracer()
         slot = jnp.int32(self.n_kf)
-        self.map = ms.insert_keyframe(
-            self.map, slot, T_cw, K, feats, feat_lm, frame_id, timestamp
-        )
-        self.n_kf += 1
-        if feats.depth is not None:
-            # stereo/RGB-D: spawn close landmarks straight from depth
-            # (Tracking::CreateNewKeyFrame stereo branch)
-            self.map = lm_stage.create_depth_landmarks(
-                self.cfg, self.map, slot, feats.depth
+        with tr.span("local_mapping", map_id=self.map_id, slot=self.n_kf):
+            self.map = ms.insert_keyframe(
+                self.map, slot, T_cw, K, feats, feat_lm, frame_id, timestamp
             )
-        self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
-        self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
-        self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
-        self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
-        self.map = lm_stage.cull_keyframes(self.cfg, self.map, slot)
+            self.n_kf += 1
+            if feats.depth is not None:
+                # stereo/RGB-D: spawn close landmarks straight from depth
+                # (Tracking::CreateNewKeyFrame stereo branch)
+                self.map = lm_stage.create_depth_landmarks(
+                    self.cfg, self.map, slot, feats.depth
+                )
+            self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
+            self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
+            self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
+            self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
+            self.map = lm_stage.cull_keyframes(self.cfg, self.map, slot)
+        tr.incr("keyframes_inserted")
+        tr.event("keyframe", map_id=self.map_id, slot=self.n_kf - 1,
+                 frame_id=int(frame_id), ts=float(timestamp))
         return int(slot)
 
     # -- BoW database -----------------------------------------------------
@@ -177,25 +183,31 @@ class MapContext:
             or slot - self.last_loop_kf < cfg.loop.kfs_between_loops
         ):
             return False
-        scores, allowed, min_score = lc_stage.loop_candidates(
-            cfg, self.map, self.kf_bow, jnp.int32(slot),
-            min_gap=cfg.loop.kfs_between_loops,
-        )
-        sc = np.asarray(jnp.where(allowed, scores, -1.0))
-        cand = int(sc.argmax())
-        if sc[cand] < max(float(min_score), 0.015):
-            return False
-        ls = lc_stage.compute_loop_sim3(
-            cfg, self.map, jnp.int32(slot), jnp.int32(cand), key
-        )
+        tr = get_tracer()
+        with tr.span("loop_detect", map_id=self.map_id):
+            scores, allowed, min_score = lc_stage.loop_candidates(
+                cfg, self.map, self.kf_bow, jnp.int32(slot),
+                min_gap=cfg.loop.kfs_between_loops,
+            )
+            sc = np.asarray(jnp.where(allowed, scores, -1.0))
+            cand = int(sc.argmax())
+            if sc[cand] < max(float(min_score), 0.015):
+                return False
+            ls = lc_stage.compute_loop_sim3(
+                cfg, self.map, jnp.int32(slot), jnp.int32(cand), key
+            )
         if not bool(ls.success):
             return False
-        self.map = lc_stage.correct_loop(
-            cfg, self.map, jnp.int32(slot), jnp.int32(cand), ls.S_ba
-        )
-        self.map = lc_stage.global_bundle_adjust(cfg, self.map, iters=8)
+        with tr.span("loop_correct", map_id=self.map_id):
+            self.map = lc_stage.correct_loop(
+                cfg, self.map, jnp.int32(slot), jnp.int32(cand), ls.S_ba
+            )
+            self.map = lc_stage.global_bundle_adjust(cfg, self.map, iters=8)
         self.last_loop_kf = slot
         self.loops_closed.append((slot, cand, int(ls.n_inliers)))
+        tr.incr("loops_closed")
+        tr.event("loop_closed", map_id=self.map_id, slot=slot, cand=cand,
+                 inliers=int(ls.n_inliers))
         return True
 
     def summary(self) -> dict:
@@ -549,6 +561,10 @@ class RobotTracker:
         if bool(s.new_kf):
             slot = int(s.kf_slot)
             mc.n_kf = slot + 1
+            tr = get_tracer()
+            tr.incr("keyframes_inserted")
+            tr.event("keyframe", map_id=mc.map_id, slot=slot,
+                     frame_id=self.frame_id, ts=float(timestamp))
             mc.update_bow_row(slot)
             self._key, sub = jax.random.split(self._key)
             if mc.try_close_loop(slot, sub):
