@@ -70,6 +70,7 @@ def run_robots(
     """Run all feeds round-robin through a shared MultiMapper (the reference
     runs one thread per robot; interleaving frames reproduces concurrency).
     """
+    get_tracer().reset()  # a second run in the same process starts clean
     mm = MultiMapper(cfg)
     iters = []
     for i, feed in enumerate(feeds):

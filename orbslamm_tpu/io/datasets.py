@@ -94,13 +94,19 @@ def load_euroc_sequence(seq_dir: str | Path) -> ImageSequence:
     seq_dir = Path(seq_dir)
     paths: list[Path] = []
     stamps: list[float] = []
+    # The reference keeps raw timestamp values as-is (mono_eth.cc LoadImages);
+    # we deliberately normalize to seconds, deciding the unit ONCE from the
+    # first valid row so a whole file is never mixed-unit.
+    ns_scale: float | None = None
     for line in (seq_dir / "data.csv").read_text().splitlines()[1:]:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         t_str, name = [x.strip() for x in line.split(",")[:2]]
         t = float(t_str)
-        stamps.append(t * 1e-9 if t > 1e14 else t)
+        if ns_scale is None:
+            ns_scale = 1e-9 if t > 1e14 else 1.0
+        stamps.append(t * ns_scale)
         paths.append(seq_dir / "data" / name)
     return ImageSequence(paths, np.asarray(stamps), name=seq_dir.name)
 
@@ -109,19 +115,19 @@ def load_newcollege_sequence(seq_dir: str | Path) -> ImageSequence:
     """New College: ``<seq>/times.txt`` + ``<seq>/right/filenames.txt``
     (mono_NewCollege.cc:127-157)."""
     seq_dir = Path(seq_dir)
-    stamps = [
-        float(s.split()[0])
-        for s in (seq_dir / "times.txt").read_text().splitlines()
-        if s.strip()
-    ]
-    names = [
-        s.split()[0]
-        for s in (seq_dir / "right" / "filenames.txt").read_text().splitlines()
-        if s.strip()
-    ]
-    n = min(len(stamps), len(names))
-    paths = [seq_dir / "right" / name for name in names[:n]]
-    return ImageSequence(paths, np.asarray(stamps[:n]), name=seq_dir.name)
+    # zip the two files line-by-line (as the reference's paired getline loop
+    # does): a blank line in only one file must not shift the pairing of all
+    # subsequent frames
+    stamps: list[float] = []
+    paths: list[Path] = []
+    t_lines = (seq_dir / "times.txt").read_text().splitlines()
+    f_lines = (seq_dir / "right" / "filenames.txt").read_text().splitlines()
+    for t_line, f_line in zip(t_lines, f_lines):
+        if not t_line.strip() or not f_line.strip():
+            continue
+        stamps.append(float(t_line.split()[0]))
+        paths.append(seq_dir / "right" / f_line.split()[0])
+    return ImageSequence(paths, np.asarray(stamps), name=seq_dir.name)
 
 
 def load_agz_sequence(seq_dir: str | Path, stride: int = 5) -> ImageSequence:

@@ -41,6 +41,10 @@ class TrackState(NamedTuple):
     peak_inliers: jax.Array  # i32
     prev_inliers: jax.Array  # i32 — last frame's inlier count (collapse gate)
     n_kf: jax.Array  # i32 — next keyframe slot
+    # latched on the first failed frame: freezes tracking for the REST of a
+    # chunked scan (no false recovery, no junk keyframes) until the host
+    # state machine intervenes (reloc / new map) and rebuilds the state
+    lost: jax.Array = None  # bool
 
 
 class FrameSummary(NamedTuple):
@@ -51,14 +55,10 @@ class FrameSummary(NamedTuple):
     kf_slot: jax.Array  # i32 (valid when new_kf)
 
 
-def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
-    """Build the fused jitted step.
+def _make_frame_body(cfg: SlamConfig, extract_fn, K: jax.Array):
+    """The traced per-frame body shared by the single-frame step and the
+    chunked lax.scan step."""
 
-    extract_fn: the jitted single-image ORB extractor (inlined at trace).
-    Returns step(m, ts, image, frame_id, timestamp) -> (m, ts, FrameSummary).
-    """
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp,
              allow_kf=True):
         # allow_kf: traced bool; False = localization-only mode (reference
@@ -84,6 +84,11 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
         ok &= r2.n_inliers.astype(jnp.float32) >= 0.25 * ts.prev_inliers.astype(
             jnp.float32
         )
+        # once lost, stay lost for the rest of the chunk: recovery is a host
+        # decision (relocalize / new map), not a lucky re-lock mid-scan
+        was_lost = ts.lost if ts.lost is not None else jnp.asarray(False)
+        ok &= ~was_lost
+        lost_next = was_lost | ~ok
 
         peak = jnp.maximum(ts.peak_inliers, r2.n_inliers)
         fsk = ts.frames_since_kf + 1
@@ -133,6 +138,7 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
             peak_inliers=jnp.where(need_kf, r2.n_inliers, jnp.where(ok, peak, ts.peak_inliers)),
             prev_inliers=jnp.where(ok, r2.n_inliers, ts.prev_inliers),
             n_kf=jnp.where(need_kf, ts.n_kf + 1, ts.n_kf),
+            lost=lost_next,
         )
         summary = FrameSummary(
             T_cw=T_new,
@@ -144,3 +150,61 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
         return m, ts_next, summary
 
     return step
+
+
+@jax.jit
+def rebase_track_state(ts: TrackState, T_kf_old: jax.Array,
+                       T_kf_new: jax.Array) -> TrackState:
+    """Re-express the device tracking state after a loop correction moved
+    the map: camera poses ride the corrected keyframe via the relative
+    chain T_rel = T_cw @ inv(T_kf_old), T_cw' = T_rel @ T_kf_new (the
+    reference recovers frame poses the same way, System.cc:470-499)."""
+    A = geo.T_inv(T_kf_old) @ T_kf_new
+    return ts._replace(T_cw=ts.T_cw @ A, last_T=ts.last_T @ A)
+
+
+def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
+    """Build the fused jitted step.
+
+    extract_fn: the jitted single-image ORB extractor (inlined at trace).
+    Returns step(m, ts, image, frame_id, timestamp) -> (m, ts, FrameSummary).
+    """
+    body = _make_frame_body(cfg, extract_fn, K)
+    return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+
+def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array):
+    """Build the CHUNKED fused step: lax.scan of the frame body over a batch
+    of N frames, ONE dispatch + ONE host sync per chunk.
+
+    Rationale: on a remote-attached TPU every host sync costs a full network
+    round trip (~30 ms on the axon tunnel), which caps any one-sync-per-frame
+    design at ~linerate/RTT. Scanning N frames per dispatch amortizes the RTT
+    N-fold; keyframe-rate host events (BoW rows, loop closing, merging) are
+    handled after the chunk from the stacked summaries — the same delayed
+    semantics as the reference's async LoopClosing/MultiMapper queues
+    (LoopClosing.cc:96-107).
+
+    Returns step(m, ts, images[N,H,W], frame_ids[N], timestamps[N], allow_kf)
+    -> (m, ts, FrameSummary stacked along axis 0).
+    """
+    body = _make_frame_body(cfg, extract_fn, K)
+
+    # NOTE: only the map is donated — TrackState fields routinely alias each
+    # other on the host side (T_cw is last_T right after init), and donating
+    # an aliased buffer twice is an error
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk(m: ms.MapState, ts: TrackState, images, frame_ids, timestamps,
+              allow_kf=True):
+        def scan_body(carry, inp):
+            m, ts = carry
+            img, fid, t = inp
+            m, ts, summary = body(m, ts, img, fid, t, allow_kf)
+            return (m, ts), summary
+
+        (m, ts), summaries = jax.lax.scan(
+            scan_body, (m, ts), (images, frame_ids, timestamps)
+        )
+        return m, ts, summaries
+
+    return chunk

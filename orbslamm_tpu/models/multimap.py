@@ -162,21 +162,49 @@ class MultiMapper:
         with tr.span("track", robot=t.name):
             rec = t.process_frame(image, timestamp)
         if t.state == TrackingState.LOST and self.cfg.multi_mapping:
-            if t.mapctx.n_kf >= self.cfg.tracking.min_kfs_for_new_map:
-                # keep the orphan map; continue mapping in a brand-new one
-                # (the ORBSLAMM signature, Tracking.cc:330-366)
-                t.switch_map(self.new_map())
-                tr.incr("new_maps_on_loss")
-                tr.event("new_map_on_loss", robot=t.name,
-                         map_id=t.mapctx.map_id, ts=float(timestamp))
-            else:
-                # early loss → reset the young map (Tracking.cc:520-528)
-                t.mapctx.map = ms.empty_map(self.cfg)
-                t.mapctx.n_kf = 0
-                if t.mapctx.kf_bow is not None:
-                    t.mapctx.kf_bow = jnp.zeros_like(t.mapctx.kf_bow)
-                t.switch_map(t.mapctx)
+            self._handle_loss(t, float(timestamp))
         return rec
+
+    def process_frames(self, robot_idx: int, images, timestamps):
+        """Chunked driver: OK-state runs go through the tracker's scan step
+        (one dispatch + one sync per chunk); init/loss frames fall back to
+        the per-frame path with the usual new-map-on-loss handling."""
+        t = self.robots[robot_idx]
+        tr = get_tracer()
+        recs = []
+        i, n = 0, len(timestamps)
+        while i < n:
+            cs = t.chunk_size
+            if t.state == TrackingState.OK and t.use_fused and n - i >= cs:
+                with tr.span("track", robot=t.name, chunk=cs):
+                    recs.extend(
+                        t._process_chunk(images[i : i + cs], timestamps[i : i + cs])
+                    )
+                i += cs
+                if t.state == TrackingState.LOST and self.cfg.multi_mapping:
+                    self._handle_loss(t, float(timestamps[i - 1]))
+            else:
+                recs.append(self.process_frame(robot_idx, images[i],
+                                               float(timestamps[i])))
+                i += 1
+        return recs
+
+    def _handle_loss(self, t: RobotTracker, timestamp: float):
+        tr = get_tracer()
+        if t.mapctx.n_kf >= self.cfg.tracking.min_kfs_for_new_map:
+            # keep the orphan map; continue mapping in a brand-new one
+            # (the ORBSLAMM signature, Tracking.cc:330-366)
+            t.switch_map(self.new_map())
+            tr.incr("new_maps_on_loss")
+            tr.event("new_map_on_loss", robot=t.name,
+                     map_id=t.mapctx.map_id, ts=timestamp)
+        else:
+            # early loss → reset the young map (Tracking.cc:520-528)
+            t.mapctx.map = ms.empty_map(self.cfg)
+            t.mapctx.n_kf = 0
+            if t.mapctx.kf_bow is not None:
+                t.mapctx.kf_bow = jnp.zeros_like(t.mapctx.kf_bow)
+            t.switch_map(t.mapctx)
 
     # -- keyframe hook: vocabulary + merge scan ----------------------------
     def _on_keyframe(self, tracker: RobotTracker, slot: int):
@@ -200,10 +228,20 @@ class MultiMapper:
         mcB = tracker.mapctx
         if mcB.n_kf < cfg.loop.min_kfs_for_merge or mcB.kf_bow is None:
             return False
+        # scan timed separately from the merge itself: _do_merge has its own
+        # "merge" span, and nesting it here would double-count the merge work
+        # inside merge_scan medians
         with get_tracer().span("merge_scan", robot=tracker.name):
-            return self._merge_scan(mcB, slot)
+            found = self._merge_scan(mcB, slot)
+        if found is None:
+            return False
+        mcA, S_ba, cand = found
+        self._do_merge(mcA, mcB, S_ba, slot, cand)
+        return True
 
-    def _merge_scan(self, mcB: MapContext, slot: int) -> bool:
+    def _merge_scan(self, mcB: MapContext, slot: int):
+        """Scan live maps for a cross-map loop; returns (base_map, Sim3,
+        candidate_slot) or None — the merge itself runs in the caller."""
         cfg = self.cfg
         vB = mcB.kf_bow[slot]
         for mcA in self.live_maps():
@@ -225,9 +263,8 @@ class MultiMapper:
             )
             if not bool(ls.success):
                 continue
-            self._do_merge(mcA, mcB, ls.S_ba, slot, cand)
-            return True
-        return False
+            return mcA, ls.S_ba, cand
+        return None
 
     def _do_merge(self, mcA: MapContext, mcB: MapContext, S_cam, slot_b: int, slot_a: int):
         tr = get_tracer()

@@ -245,6 +245,11 @@ class RobotTracker:
         self._pending = None
         self._frame_step = fused.make_frame_step(cfg, self.extract, self.K)
         self._ts = None  # device TrackState when the fused path is active
+        # chunked streaming: N frames per dispatch, ONE host sync per chunk
+        # (amortizes the host<->device round trip N-fold; see
+        # fused.make_chunk_step). Built lazily on first use.
+        self.chunk_size = 8
+        self._chunk_step = None
 
     def _reset_tracking(self):
         self._ref = None
@@ -293,6 +298,7 @@ class RobotTracker:
             peak_inliers=jnp.int32(self.peak_inliers_since_kf),
             prev_inliers=jnp.int32(self.prev_inliers),
             n_kf=jnp.int32(self.mapctx.n_kf),
+            lost=jnp.asarray(False),
         )
 
     def adopt_merged_map(self, mapctx: MapContext, S_new_from_old: jax.Array, lm_remap):
@@ -577,6 +583,106 @@ class RobotTracker:
                 self.on_keyframe(self, slot)
         return n_inl
 
+    # -- chunked streaming path ---------------------------------------------
+    def process_frames(self, images, timestamps) -> list[FrameRecord]:
+        """Process a batch of frames, using the chunked scan step (ONE device
+        dispatch + ONE host sync per ``chunk_size`` frames) whenever tracking
+        is in the OK state; initialization/loss frames fall back to the
+        per-frame path. ``images`` is a list of [H,W] arrays or an [N,H,W]
+        array."""
+        recs: list[FrameRecord] = []
+        i, n = 0, len(timestamps)
+        while i < n:
+            cs = self.chunk_size
+            if self.state == TrackingState.OK and self.use_fused and n - i >= cs:
+                recs.extend(
+                    self._process_chunk(images[i : i + cs], timestamps[i : i + cs])
+                )
+                i += cs
+            else:
+                recs.append(self.process_frame(images[i], float(timestamps[i])))
+                i += 1
+        return recs
+
+    def _process_chunk(self, images, timestamps) -> list[FrameRecord]:
+        mc = self.mapctx
+        cs = len(timestamps)
+        if self._chunk_step is None:
+            self._chunk_step = fused.make_chunk_step(self.cfg, self.extract, self.K)
+        if self._ts is None:
+            self._ts = self._make_ts()
+        if isinstance(images, (list, tuple)):
+            imgs = jnp.stack([jnp.asarray(im) for im in images])
+        else:
+            imgs = jnp.asarray(images)
+        fids = jnp.arange(self.frame_id + 1, self.frame_id + 1 + cs, dtype=jnp.int32)
+        stamps = jnp.asarray(np.asarray(timestamps, np.float32))
+        m, ts, summaries = self._chunk_step(
+            mc.map, self._ts, imgs, fids, stamps,
+            jnp.asarray(not self.localization_only),
+        )
+        mc.map = m
+        self._ts = ts
+        s = jax.device_get(summaries)  # the single host sync of the chunk
+
+        tr = get_tracer()
+        recs: list[FrameRecord] = []
+        new_kfs: list[tuple[int, np.ndarray]] = []  # (slot, pose at insertion)
+        # pass 1: records + keyframe bookkeeping (BoW rows, counters) — the
+        # map must know ALL of the chunk's keyframes before loop closing /
+        # merging fire, exactly like the reference's KF queue draining ahead
+        # of LoopClosing/MultiMapper consumption
+        for j in range(cs):
+            self.frame_id += 1
+            ok = bool(s.tracking_ok[j])
+            n_inl = int(s.n_inliers[j]) if ok else 0
+            if ok:
+                self.T_cw = np.asarray(s.T_cw[j])
+                if bool(s.new_kf[j]):
+                    slot = int(s.kf_slot[j])
+                    mc.n_kf = slot + 1
+                    tr.incr("keyframes_inserted")
+                    tr.event("keyframe", map_id=mc.map_id, slot=slot,
+                             frame_id=self.frame_id, ts=float(timestamps[j]))
+                    mc.update_bow_row(slot)
+                    new_kfs.append((slot, np.asarray(s.T_cw[j])))
+            else:
+                self.state = TrackingState.LOST
+            rec = FrameRecord(
+                frame_id=self.frame_id,
+                timestamp=float(timestamps[j]),
+                T_cw=np.asarray(self.T_cw),
+                state=self.state.name,
+                n_inliers=n_inl,
+                map_id=self.mapctx.map_id,
+            )
+            self.frames.append(rec)
+            recs.append(rec)
+        # pass 2: keyframe-rate events (loop closing, cross-map merging)
+        loop_rebase = None
+        for slot, T_at_insert in new_kfs:
+            self._key, sub = jax.random.split(self._key)
+            if mc.try_close_loop(slot, sub):
+                loop_rebase = (T_at_insert, np.asarray(mc.map.kf_pose[slot]))
+            if self.on_keyframe is not None:
+                self.on_keyframe(self, slot)
+                if self.mapctx is not mc:
+                    # merged into another map mid-walk: adopt_merged_map has
+                    # already rebased the host state; remaining keyframes of
+                    # the chunk are in the merged map and will be scanned on
+                    # their next keyframes
+                    return recs
+        if loop_rebase is not None and self._ts is not None:
+            # loop correction moved the map under the camera: rebase the
+            # device TrackState through the corrected keyframe (the
+            # reference's Tcr reference-chain trick, System.cc:470-499)
+            T_old, T_new = loop_rebase
+            self._ts = fused.rebase_track_state(
+                self._ts, jnp.asarray(T_old), jnp.asarray(T_new)
+            )
+            self.T_cw = np.asarray(self.T_cw @ np.linalg.inv(T_old) @ T_new)
+        return recs
+
     # -- public API --------------------------------------------------------
     def process_frame(self, image: np.ndarray, timestamp: float) -> FrameRecord:
         self.frame_id += 1
@@ -677,6 +783,29 @@ class MonocularSession:
         if not self.enable_loop_closing:
             mc.try_close_loop = lambda slot, key: False
         return self.tracker.process_frame(image, timestamp)
+
+    def process_frames(self, images, timestamps):
+        """Chunked streaming: N-frame scan dispatches while tracking is OK
+        (see RobotTracker.process_frames)."""
+        recs = []
+        i, n = 0, len(timestamps)
+        while i < n:
+            mc = self.tracker.mapctx
+            if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
+                mc.ensure_vocabulary()
+            if not self.enable_loop_closing:
+                mc.try_close_loop = lambda slot, key: False
+            cs = self.tracker.chunk_size
+            if (self.tracker.state == TrackingState.OK and self.tracker.use_fused
+                    and n - i >= cs):
+                recs.extend(self.tracker._process_chunk(
+                    images[i : i + cs], timestamps[i : i + cs]))
+                i += cs
+            else:
+                recs.append(self.tracker.process_frame(images[i],
+                                                       float(timestamps[i])))
+                i += 1
+        return recs
 
     def keyframe_trajectory(self):
         m = self.map

@@ -34,6 +34,9 @@ class Vocabulary(NamedTuple):
     branching: int
     depth: int
     idf: jax.Array  # [n_words] float32
+    # per-node validity for trees loaded from DBoW2 files (which are NOT
+    # complete k-ary trees); None = every slot populated (trained vocabs)
+    node_valid: jax.Array | None = None
 
     @property
     def n_words(self) -> int:
@@ -121,6 +124,86 @@ def build_vocabulary(
     return voc._replace(idf=jnp.asarray(idf, jnp.float32))
 
 
+def load_orb_vocabulary_text(
+    path, max_depth: int = 4
+) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the reference's ``ORBvoc.txt``,
+    ORBVocabulary::loadFromTextFile via TemplatedVocabulary.h — format:
+    header ``k L scoring weighting`` then one node per line
+    ``parent_id is_leaf d0..d31 weight``, node ids implicit by line order
+    starting at 1, root = 0).
+
+    The pretrained tree is k=10, L=6 (~1M words). Dense BoW rows at 10^6
+    words are wasteful on TPU, so the tree is truncated to ``max_depth``
+    levels (10^4 words at the default) — the upper levels of the tree carry
+    almost all of the discriminative power for loop RANKING, which is the
+    only thing scores are used for here. Nodes that are leaves above the
+    cut are propagated downward as single-child chains so their descriptors
+    keep resolving to a word. idf of a cut word = max leaf weight below it.
+    """
+    from pathlib import Path
+
+    lines = Path(path).read_text().split("\n")
+    k, L = (int(x) for x in lines[0].split()[:2])
+    depth = min(L, max_depth)
+
+    n_nodes = 0
+    parents: list[int] = [0]  # node 0 = root
+    is_leaf: list[bool] = [False]
+    descs: list[np.ndarray] = [np.zeros(32, np.uint8)]
+    weights: list[float] = [0.0]
+    for ln in lines[1:]:
+        ln = ln.strip()
+        if not ln:
+            continue
+        parts = ln.split()
+        parents.append(int(parts[0]))
+        is_leaf.append(bool(int(parts[1])))
+        descs.append(np.asarray([int(x) for x in parts[2:34]], np.uint8))
+        weights.append(float(parts[34]))
+    n_nodes = len(parents)
+    children: list[list[int]] = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[parents[i]].append(i)
+
+    # map the (possibly incomplete) tree onto the complete level-major array
+    total = sum(k ** (l + 1) for l in range(depth))
+    nodes = np.zeros((total, 32), np.uint8)
+    valid = np.zeros((total,), bool)
+    idf = np.zeros((k**depth,), np.float32)
+
+    def max_leaf_weight(node: int) -> float:
+        if is_leaf[node] or not children[node]:
+            return weights[node]
+        return max(max_leaf_weight(c) for c in children[node])
+
+    # BFS over our complete-tree slots: (file_node, level, slot_in_level)
+    stack = [(c, 0, i) for i, c in enumerate(children[0][:k])]
+    while stack:
+        node, level, slot = stack.pop()
+        off = _level_offset(k, level)
+        nodes[off + slot] = descs[node]
+        valid[off + slot] = True
+        if level == depth - 1:
+            idf[slot] = max_leaf_weight(node)
+            continue
+        kids = children[node][:k]
+        if not kids or is_leaf[node]:
+            # early leaf (or cut): propagate as a single-child chain
+            stack.append((node, level + 1, slot * k))
+        else:
+            for j, c in enumerate(kids):
+                stack.append((c, level + 1, slot * k + j))
+
+    return Vocabulary(
+        nodes=jnp.asarray(nodes),
+        branching=k,
+        depth=depth,
+        idf=jnp.asarray(idf),
+        node_valid=jnp.asarray(valid),
+    )
+
+
 def _level_offset(branching: int, level: int) -> int:
     """Start row of ``level`` in the level-major nodes array."""
     return sum(branching ** (l + 1) for l in range(level))
@@ -142,6 +225,8 @@ def assign_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Arra
             ),
             axis=-1,
         )
+        if voc.node_valid is not None:
+            d = jnp.where(voc.node_valid[idx], d, jnp.inf)
         best = jnp.argmin(d, axis=-1).astype(jnp.int32)
         node = child_base + best
     return jnp.where(valid, node, -1)
