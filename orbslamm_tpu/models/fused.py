@@ -57,14 +57,18 @@ class FrameSummary(NamedTuple):
 
 def _make_frame_body(cfg: SlamConfig, extract_fn, K: jax.Array):
     """The traced per-frame body shared by the single-frame step and the
-    chunked lax.scan step."""
+    chunked lax.scan step.
+
+    The body accepts EITHER a raw image (extraction inlined — the
+    single-frame path) or a precomputed Features (the chunked path, which
+    batches extraction across the chunk outside the sequential scan)."""
 
     def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp,
              allow_kf=True):
         # allow_kf: traced bool; False = localization-only mode (reference
         # System::ActivateLocalizationMode / Tracking::mbOnlyTracking —
         # track against the frozen map, never insert keyframes)
-        feats = extract_fn(image)
+        feats = image if isinstance(image, Features) else extract_fn(image)
         T_pred = ts.velocity @ ts.last_T
         r1 = trk.track_motion_model(
             cfg, m, feats, T_pred, K, ts.last_feats, ts.last_lm, T_last=ts.last_T
@@ -196,14 +200,20 @@ def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk(m: ms.MapState, ts: TrackState, images, frame_ids, timestamps,
               allow_kf=True):
+        # extraction is per-frame INDEPENDENT: batch it across the chunk
+        # (vmap → one [N,...] pyramid/FAST/descriptor program with N-fold
+        # better MXU/VPU utilization) and scan only the inherently
+        # sequential tracking chain
+        feats_all = jax.vmap(extract_fn)(images)
+
         def scan_body(carry, inp):
             m, ts = carry
-            img, fid, t = inp
-            m, ts, summary = body(m, ts, img, fid, t, allow_kf)
+            feats, fid, t = inp
+            m, ts, summary = body(m, ts, feats, fid, t, allow_kf)
             return (m, ts), summary
 
         (m, ts), summaries = jax.lax.scan(
-            scan_body, (m, ts), (images, frame_ids, timestamps)
+            scan_body, (m, ts), (feats_all, frame_ids, timestamps)
         )
         return m, ts, summaries
 

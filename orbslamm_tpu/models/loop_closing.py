@@ -62,6 +62,21 @@ def loop_candidates(
     return scores, allowed, min_score
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "min_gap"))
+def batched_loop_candidates(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_bow: jax.Array,
+    slots: jax.Array,  # [B] int32
+    min_gap: int = 10,
+):
+    """loop_candidates for a batch of keyframes in one program (the chunked
+    path scores all of a chunk's new keyframes in a single dispatch)."""
+    return jax.vmap(
+        lambda s: loop_candidates(cfg, m, kf_bow, s, min_gap=min_gap)
+    )(slots)
+
+
 # ---------------------------------------------------------------------------
 # Sim3 verification
 # ---------------------------------------------------------------------------

@@ -162,20 +162,41 @@ class MapContext:
         ]
         self.voc = bow.build_vocabulary(np.concatenate(descs), branching=8, depth=3, iters=6)
         self._alloc_bow()
-        for s in np.nonzero(kv)[0]:
-            self.update_bow_row(int(s))
+        self.update_bow_rows([int(s) for s in np.nonzero(kv)[0]])
         return True
 
     def update_bow_row(self, slot: int):
-        if self.voc is None:
+        self.update_bow_rows([slot])
+
+    def update_bow_rows(self, slots):
+        """Batched, single-dispatch BoW database update (KeyFrameDatabase::add
+        analog). On remote-attached TPUs the eager path costs one network
+        round trip per primitive op — this is the whole transform in one."""
+        if self.voc is None or len(slots) == 0:
             return
-        words = bow.assign_words(
-            self.voc, self.map.kf_desc[slot], self.map.kf_feat_valid[slot]
+        self.kf_bow = bow.update_bow_rows(
+            self.voc, self.map.kf_desc, self.map.kf_feat_valid, self.kf_bow,
+            jnp.asarray(slots, jnp.int32),
         )
-        self.kf_bow = self.kf_bow.at[slot].set(bow.bow_vector(self.voc, words))
 
     # -- same-map loop closing --------------------------------------------
-    def try_close_loop(self, slot: int, key) -> bool:
+    def loop_scan(self, slots) -> dict:
+        """Candidate scores for a batch of new keyframes in ONE dispatch +
+        ONE fetch (KeyFrameDatabase::DetectLoopCandidates for the whole
+        chunk). Returns {slot: (scores-with-mask [K], min_score)} for
+        feeding try_close_loop's ``precomputed``."""
+        cfg = self.cfg
+        if self.voc is None or not slots or self.n_kf < cfg.loop.min_kfs_for_merge:
+            return {}
+        scores, allowed, min_score = lc_stage.batched_loop_candidates(
+            cfg, self.map, self.kf_bow, jnp.asarray(slots, jnp.int32),
+            min_gap=cfg.loop.kfs_between_loops,
+        )
+        sc = np.asarray(jnp.where(allowed, scores, -1.0))
+        msc = np.asarray(min_score)
+        return {s: (sc[i], float(msc[i])) for i, s in enumerate(slots)}
+
+    def try_close_loop(self, slot: int, key, precomputed=None) -> bool:
         cfg = self.cfg
         if (
             self.voc is None
@@ -185,13 +206,17 @@ class MapContext:
             return False
         tr = get_tracer()
         with tr.span("loop_detect", map_id=self.map_id):
-            scores, allowed, min_score = lc_stage.loop_candidates(
-                cfg, self.map, self.kf_bow, jnp.int32(slot),
-                min_gap=cfg.loop.kfs_between_loops,
-            )
-            sc = np.asarray(jnp.where(allowed, scores, -1.0))
+            if precomputed is None:
+                scores, allowed, min_score = lc_stage.loop_candidates(
+                    cfg, self.map, self.kf_bow, jnp.int32(slot),
+                    min_gap=cfg.loop.kfs_between_loops,
+                )
+                sc = np.asarray(jnp.where(allowed, scores, -1.0))
+                min_score = float(min_score)
+            else:
+                sc, min_score = precomputed
             cand = int(sc.argmax())
-            if sc[cand] < max(float(min_score), 0.015):
+            if sc[cand] < max(min_score, 0.015):
                 return False
             ls = lc_stage.compute_loop_sim3(
                 cfg, self.map, jnp.int32(slot), jnp.int32(cand), key
@@ -644,7 +669,6 @@ class RobotTracker:
                     tr.incr("keyframes_inserted")
                     tr.event("keyframe", map_id=mc.map_id, slot=slot,
                              frame_id=self.frame_id, ts=float(timestamps[j]))
-                    mc.update_bow_row(slot)
                     new_kfs.append((slot, np.asarray(s.T_cw[j])))
             else:
                 self.state = TrackingState.LOST
@@ -658,11 +682,15 @@ class RobotTracker:
             )
             self.frames.append(rec)
             recs.append(rec)
+        # all of the chunk's new BoW database rows in ONE dispatch, then all
+        # of its loop-candidate scores in one more (1 fetch total)
+        mc.update_bow_rows([slot for slot, _ in new_kfs])
+        loop_pre = mc.loop_scan([slot for slot, _ in new_kfs])
         # pass 2: keyframe-rate events (loop closing, cross-map merging)
         loop_rebase = None
         for slot, T_at_insert in new_kfs:
             self._key, sub = jax.random.split(self._key)
-            if mc.try_close_loop(slot, sub):
+            if mc.try_close_loop(slot, sub, precomputed=loop_pre.get(slot)):
                 loop_rebase = (T_at_insert, np.asarray(mc.map.kf_pose[slot]))
             if self.on_keyframe is not None:
                 self.on_keyframe(self, slot)

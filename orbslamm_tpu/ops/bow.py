@@ -20,7 +20,8 @@ TPU re-design:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,17 @@ import numpy as np
 from orbslamm_tpu.ops.matching import hamming_matrix, unpack_bits
 
 
-class Vocabulary(NamedTuple):
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("nodes", "idf", "node_valid"),
+    meta_fields=("branching", "depth"),
+)
+@dataclasses.dataclass(frozen=True)
+class Vocabulary:
+    """Registered pytree with STATIC branching/depth so a Vocabulary can be
+    passed straight into jitted functions (one compile per tree shape, not
+    per vocabulary instance — each map trains its own)."""
+
     nodes: jax.Array  # [n_nodes, 32] uint8 — level-major flat tree
     branching: int
     depth: int
@@ -41,6 +52,9 @@ class Vocabulary(NamedTuple):
     @property
     def n_words(self) -> int:
         return self.branching**self.depth
+
+    def _replace(self, **kw) -> "Vocabulary":
+        return dataclasses.replace(self, **kw)
 
 
 def _majority_centroid(desc_bits: np.ndarray, weight: np.ndarray) -> np.ndarray:
@@ -54,74 +68,103 @@ def _pack(bits: np.ndarray) -> np.ndarray:
     return np.packbits(bits.reshape(-1, 32, 8), axis=-1, bitorder="little").reshape(-1, 32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("branching", "depth", "iters", "seed")
+)
+def _build_voc_device(desc, valid, branching: int, depth: int, iters: int,
+                      seed: int):
+    """Hierarchical k-majority, fully on device: every level clusters ALL
+    groups at once — Hamming distances via ONE [N,256]x[256,G*k] matmul
+    (pop(a)+pop(c)-2<a,c>) masked to each descriptor's own group, and
+    majority-vote centroid updates via segment-sums. Replaces the reference's
+    offline DBoW2 k-means++ training with an MXU-shaped program.
+
+    ``valid`` masks padding rows (inputs are bucketed to power-of-two sizes
+    so retraining at different corpus sizes reuses the compiled program)."""
+    bits = unpack_bits(desc) * valid[:, None]  # [N,256] f32 in {0,1}
+    N = bits.shape[0]
+    key = jax.random.PRNGKey(seed)
+    group = jnp.zeros(N, jnp.int32)  # hierarchical slot id within the level
+    pop_b = bits.sum(1)  # [N]
+    level_cents = []
+
+    for level in range(depth):
+        G = branching**level
+        Gk = G * branching
+        # init: k random members per group (segmented top-k of random keys)
+        key, k1 = jax.random.split(key)
+        r = jax.random.uniform(k1, (N,))
+        member = (group[None, :] == jnp.arange(G)[:, None]) & valid[None, :]
+        _, init_idx = jax.lax.top_k(jnp.where(member, r[None, :], -1.0),
+                                    branching)  # [G,k]
+        cents = bits[init_idx.reshape(-1)]  # [Gk,256]
+        col_group = jnp.arange(Gk) // branching
+
+        def assign_to(cents):
+            inner = bits @ cents.T  # [N,Gk] — the MXU does the Hamming work
+            d = pop_b[:, None] + cents.sum(1)[None, :] - 2.0 * inner
+            d = jnp.where(col_group[None, :] == group[:, None], d, jnp.inf)
+            return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+        def one_iter(cents, _):
+            assign = assign_to(cents)
+            w = valid.astype(jnp.float32)
+            sums = jnp.zeros((Gk, bits.shape[1]), jnp.float32).at[assign].add(
+                bits * w[:, None]
+            )
+            cnts = jnp.zeros((Gk,), jnp.float32).at[assign].add(w)
+            new = (sums / jnp.maximum(cnts[:, None], 1.0)) >= 0.5
+            # empty cluster keeps its previous centroid
+            cents = jnp.where(cnts[:, None] > 0, new.astype(jnp.float32), cents)
+            return cents, None
+
+        cents, _ = jax.lax.scan(one_iter, cents, None, length=iters)
+        group = assign_to(cents)
+        level_cents.append(cents)
+
+    nodes_bits = jnp.concatenate(level_cents, 0)  # level-major
+    # pack bits little-order into uint8 (np.packbits(bitorder="little") analog)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.float32)
+    packed = (nodes_bits.reshape(-1, 32, 8) @ weights).astype(jnp.uint8)
+    n_real = valid.sum()
+    counts = (
+        jnp.zeros(branching**depth, jnp.float32)
+        .at[group]
+        .add(valid.astype(jnp.float32))
+        + 1.0
+    )
+    idf = jnp.log(n_real / counts)
+    return packed, idf
+
+
 def build_vocabulary(
     descriptors: np.ndarray,
     branching: int = 8,
     depth: int = 3,
     iters: int = 8,
     seed: int = 0,
+    max_train: int = 32768,
 ) -> Vocabulary:
-    """Hierarchical binary k-medians (k-majority) vocabulary training.
+    """Hierarchical binary k-majority vocabulary training (one jitted
+    program — see _build_voc_device).
 
-    descriptors: [N, 32] uint8 training set. Returns a Vocabulary with
-    branching^depth leaf words, idf initialized from the training set.
+    descriptors: [N, 32] uint8 training set (strided down to ``max_train``
+    if larger, padded to the next power of two otherwise so recompiles only
+    happen per size bucket). Returns a Vocabulary with branching^depth leaf
+    words, idf initialized from the training set.
     """
-    rng = np.random.default_rng(seed)
-    bits_all = np.unpackbits(descriptors, axis=-1, bitorder="little").astype(np.float32)
-
-    levels: list[np.ndarray] = []
-
-    def kmajority(bits: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        n = len(bits)
-        if n == 0:
-            cents = rng.integers(0, 2, (k, bits_all.shape[1])).astype(np.uint8)
-            return cents, np.zeros(0, np.int64)
-        init = bits[rng.choice(n, min(k, n), replace=False)]
-        cents = np.concatenate(
-            [init, rng.integers(0, 2, (k - len(init), bits.shape[1])).astype(np.float32)]
-        ) if len(init) < k else init
-        for _ in range(iters):
-            d = np.abs(bits[:, None, :] - cents[None, :, :]).sum(-1)  # hamming
-            assign = d.argmin(1)
-            new = []
-            for c in range(k):
-                sel = bits[assign == c]
-                if len(sel) == 0:
-                    new.append(cents[c])
-                else:
-                    new.append((sel.mean(0) >= 0.5).astype(np.float32))
-            cents = np.stack(new)
-        d = np.abs(bits[:, None, :] - cents[None, :, :]).sum(-1)
-        return cents.astype(np.uint8), d.argmin(1)
-
-    # level 0
-    groups = {(): bits_all}
-    node_rows: list[np.ndarray] = []
-    for level in range(depth):
-        new_groups = {}
-        rows = []
-        for path in sorted(groups.keys()):
-            bits = groups[path]
-            cents, assign = kmajority(bits, branching)
-            rows.append(cents)
-            for c in range(branching):
-                new_groups[path + (c,)] = bits[assign == c] if len(bits) else bits
-        node_rows.append(np.concatenate(rows, 0))
-        groups = new_groups
-    nodes = np.concatenate(node_rows, 0)  # level-major
-    nodes_packed = _pack(np.concatenate([r.reshape(-1, 256) for r in [nodes]], 0).astype(np.uint8))
-
-    voc = Vocabulary(
-        nodes=jnp.asarray(nodes_packed),
-        branching=branching,
-        depth=depth,
-        idf=jnp.ones(branching**depth, jnp.float32),
+    desc = np.asarray(descriptors)
+    if len(desc) > max_train:
+        desc = desc[:: int(np.ceil(len(desc) / max_train))][:max_train]
+    n = len(desc)
+    cap = max(1 << int(np.ceil(np.log2(max(n, branching)))), branching)
+    pad = np.zeros((cap - n, desc.shape[1]), np.uint8)
+    valid = jnp.asarray(np.arange(cap) < n)
+    nodes, idf = _build_voc_device(
+        jnp.asarray(np.concatenate([desc, pad], 0)), valid,
+        branching=branching, depth=depth, iters=iters, seed=seed,
     )
-    # idf from training data
-    words = np.asarray(assign_words(voc, jnp.asarray(descriptors), jnp.ones(len(descriptors), bool)))
-    counts = np.bincount(words[words >= 0], minlength=voc.n_words) + 1.0
-    idf = np.log(len(descriptors) / counts)
-    return voc._replace(idf=jnp.asarray(idf, jnp.float32))
+    return Vocabulary(nodes=nodes, branching=branching, depth=depth, idf=idf)
 
 
 def load_orb_vocabulary_text(
@@ -239,6 +282,30 @@ def bow_vector(voc: Vocabulary, words: jax.Array) -> jax.Array:
     tf = jnp.zeros(n + 1, jnp.float32).at[safe].add(1.0)[:n]
     v = tf * voc.idf
     return v / jnp.maximum(v.sum(), 1e-9)
+
+
+@jax.jit
+def bow_rows(voc: Vocabulary, desc: jax.Array, valid: jax.Array) -> jax.Array:
+    """Batched BoW transform: [B,M,32] descriptors + [B,M] validity ->
+    [B,n_words] tf-idf rows in ONE jitted dispatch (the eager per-op path
+    costs a host<->device round trip PER PRIMITIVE on remote-attached
+    TPUs)."""
+    return jax.vmap(lambda d, v: bow_vector(voc, assign_words(voc, d, v)))(
+        desc, valid
+    )
+
+
+@jax.jit
+def update_bow_rows(
+    voc: Vocabulary,
+    kf_desc: jax.Array,  # [K,M,32]
+    kf_feat_valid: jax.Array,  # [K,M]
+    kf_bow: jax.Array,  # [K,n_words]
+    slots: jax.Array,  # [B] int32 keyframe slots to (re)compute
+) -> jax.Array:
+    """Recompute the BoW database rows for ``slots`` — one dispatch total."""
+    rows = bow_rows(voc, kf_desc[slots], kf_feat_valid[slots])
+    return kf_bow.at[slots].set(rows)
 
 
 def bow_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
