@@ -45,6 +45,11 @@ class TrackState(NamedTuple):
     # chunked scan (no false recovery, no junk keyframes) until the host
     # state machine intervenes (reloc / new map) and rebuilds the state
     lost: jax.Array = None  # bool
+    # carried [K,L] observation indicator: kf_obs_lm only changes at
+    # keyframe inserts, so the expensive full rebuild (a [K,L]-sized
+    # scatter) is avoided — insert refreshes one row and the mapping
+    # stages maintain the rest (local_mapping.process_new_keyframe_cached)
+    obs_ind: jax.Array = None  # [K,L] f32
 
 
 class FrameSummary(NamedTuple):
@@ -55,16 +60,19 @@ class FrameSummary(NamedTuple):
     kf_slot: jax.Array  # i32 (valid when new_kf)
 
 
-def _make_frame_body(cfg: SlamConfig, extract_fn, K: jax.Array):
+def _make_frame_body(cfg: SlamConfig, extract_fn):
     """The traced per-frame body shared by the single-frame step and the
     chunked lax.scan step.
 
     The body accepts EITHER a raw image (extraction inlined — the
     single-frame path) or a precomputed Features (the chunked path, which
-    batches extraction across the chunk outside the sequential scan)."""
+    batches extraction across the chunk outside the sequential scan).
+    ``K`` is a step argument so the robot-parallel bank (parallel/streams)
+    can vmap one program over robots with different calibrations
+    (mono_kitti_dif-Seq runs KITTI 00 + 07 with different settings files)."""
 
     def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp,
-             allow_kf=True):
+             K, allow_kf=True):
         # allow_kf: traced bool; False = localization-only mode (reference
         # System::ActivateLocalizationMode / Tracking::mbOnlyTracking —
         # track against the frozen map, never insert keyframes)
@@ -111,17 +119,25 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, K: jax.Array):
         need_kf &= jnp.asarray(allow_kf)
         slot = ts.n_kf
 
+        have_ind = ts.obs_ind is not None
+
         def insert(operand):
-            m_in, feats_in, feat_lm_in = operand
+            m_in, ind_in, feats_in, feat_lm_in = operand
             m2 = ms.insert_keyframe(
                 m_in, slot, r2.T_cw, K, feats_in, feat_lm_in, frame_id, timestamp
             )
-            # full mapping pipeline with the [K, L] indicator built once and
+            # full mapping pipeline with the carried [K, L] indicator
             # threaded through all stages (triangulate → fuse → local BA →
             # landmark/keyframe culling)
-            return lm_stage.process_new_keyframe(cfg, m2, slot)
+            if have_ind:
+                return lm_stage.process_new_keyframe_cached(cfg, m2, slot, ind_in)
+            return lm_stage.process_new_keyframe(cfg, m2, slot), ind_in
 
-        m = jax.lax.cond(need_kf, insert, lambda o: o[0], (m, feats, r2.feat_lm))
+        ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
+        m, ind = jax.lax.cond(
+            need_kf, insert, lambda o: (o[0], o[1]),
+            (m, ind0, feats, r2.feat_lm),
+        )
 
         # state update (frozen when tracking failed — host decides LOST)
         T_new = r2.T_cw
@@ -143,6 +159,7 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, K: jax.Array):
             prev_inliers=jnp.where(ok, r2.n_inliers, ts.prev_inliers),
             n_kf=jnp.where(need_kf, ts.n_kf + 1, ts.n_kf),
             lost=lost_next,
+            obs_ind=ind if have_ind else None,
         )
         summary = FrameSummary(
             T_cw=T_new,
@@ -173,8 +190,13 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
     extract_fn: the jitted single-image ORB extractor (inlined at trace).
     Returns step(m, ts, image, frame_id, timestamp) -> (m, ts, FrameSummary).
     """
-    body = _make_frame_body(cfg, extract_fn, K)
-    return functools.partial(jax.jit, donate_argnums=(0,))(body)
+    body = _make_frame_body(cfg, extract_fn)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(m, ts, image, frame_id, timestamp, allow_kf=True):
+        return body(m, ts, image, frame_id, timestamp, K, allow_kf)
+
+    return step
 
 
 def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array):
@@ -192,7 +214,7 @@ def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array):
     Returns step(m, ts, images[N,H,W], frame_ids[N], timestamps[N], allow_kf)
     -> (m, ts, FrameSummary stacked along axis 0).
     """
-    body = _make_frame_body(cfg, extract_fn, K)
+    body = _make_frame_body(cfg, extract_fn)
 
     # NOTE: only the map is donated — TrackState fields routinely alias each
     # other on the host side (T_cw is last_T right after init), and donating
@@ -200,21 +222,28 @@ def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk(m: ms.MapState, ts: TrackState, images, frame_ids, timestamps,
               allow_kf=True):
-        # extraction is per-frame INDEPENDENT: batch it across the chunk
-        # (vmap → one [N,...] pyramid/FAST/descriptor program with N-fold
-        # better MXU/VPU utilization) and scan only the inherently
-        # sequential tracking chain
-        feats_all = jax.vmap(extract_fn)(images)
-
-        def scan_body(carry, inp):
-            m, ts = carry
-            feats, fid, t = inp
-            m, ts, summary = body(m, ts, feats, fid, t, allow_kf)
-            return (m, ts), summary
-
-        (m, ts), summaries = jax.lax.scan(
-            scan_body, (m, ts), (feats_all, frame_ids, timestamps)
-        )
-        return m, ts, summaries
+        return _chunk_body(body, extract_fn, m, ts, images, frame_ids,
+                           timestamps, K, allow_kf)
 
     return chunk
+
+
+def _chunk_body(body, extract_fn, m, ts, images, frame_ids, timestamps, K,
+                allow_kf):
+    """Shared chunk logic: batched extraction + sequential tracking scan."""
+    # extraction is per-frame INDEPENDENT: batch it across the chunk
+    # (vmap → one [N,...] pyramid/FAST/descriptor program with N-fold
+    # better MXU/VPU utilization) and scan only the inherently
+    # sequential tracking chain
+    feats_all = jax.vmap(extract_fn)(images)
+
+    def scan_body(carry, inp):
+        m, ts = carry
+        feats, fid, t = inp
+        m, ts, summary = body(m, ts, feats, fid, t, K, allow_kf)
+        return (m, ts), summary
+
+    (m, ts), summaries = jax.lax.scan(
+        scan_body, (m, ts), (feats_all, frame_ids, timestamps)
+    )
+    return m, ts, summaries

@@ -37,10 +37,14 @@ def _fundamental_from_poses(T_a, T_b, K_a, K_b):
 
 
 def _ind_row(obs_row: jax.Array, feat_valid_row: jax.Array, L: int) -> jax.Array:
-    """[M] observation row -> [L] indicator row (one small scatter)."""
-    idx = jnp.where(feat_valid_row & (obs_row >= 0), obs_row, L)
-    row = jnp.zeros((L + 1,), jnp.float32).at[idx].set(1.0)
-    return row[:L]
+    """[M] observation row -> [L] indicator row.
+
+    One-hot compare+reduce instead of a scatter: TPU scatters serialize per
+    update (~50 ms for 2048 updates on a v5e), the [M,L] compare is sub-ms
+    VPU work."""
+    obs = jnp.where(feat_valid_row & (obs_row >= 0), obs_row, -1)
+    hit = obs[:, None] == jnp.arange(L, dtype=obs.dtype)[None, :]
+    return jnp.max(hit, axis=0).astype(jnp.float32)
 
 
 def _triangulate_pair(cfg: SlamConfig, m: ms.MapState, slot_a, slot_b, max_new: int):
@@ -281,30 +285,28 @@ def _local_ba(cfg, m, kf_slot, ind, window: int, n_fixed: int, iters: int):
         * cfg.orb.scale_factor ** m.kf_level[win].astype(jnp.float32)
     ) ** 2
 
-    prob = ba.BAProblem(
+    # scatter-free window-structured Schur BA (ops/ba.bundle_adjust_window):
+    # stereo edges (reference EdgeStereoSE3ProjectXYZ) ride along when the
+    # map has stereo measurements
+    res = ba.bundle_adjust_window(
         T_cw=m.kf_pose[win],
         K=m.kf_K[win],
         cam_valid=win_ok,
         cam_fixed=fixed,
         points=m.lm_pos,
         point_valid=m.lm_valid,
-        obs_cam=obs_cam.reshape(-1).astype(jnp.int32),
-        obs_point=lm_idx.reshape(-1).astype(jnp.int32),
-        obs_uv=m.kf_xy[win].reshape(-1, 2),
-        obs_sigma2=sigma2.reshape(-1),
-        obs_valid=(feat_ok & win_ok[:, None]).reshape(-1),
-        # stereo edges (no-op when the map has no stereo measurements):
-        # reference adds EdgeStereoSE3ProjectXYZ for features with mvuRight
-        obs_ur=(
-            m.kf_ur[win].reshape(-1) if cfg.camera.bf > 0 else None
-        ),
+        obs_point=lm_idx.astype(jnp.int32),
+        obs_uv=m.kf_xy[win],
+        obs_sigma2=sigma2,
+        obs_valid=feat_ok & win_ok[:, None],
+        iters=iters,
+        obs_ur=m.kf_ur[win] if cfg.camera.bf > 0 else None,
         bf=(
             jnp.full((window,), cfg.camera.bf, jnp.float32)
             if cfg.camera.bf > 0
             else None
         ),
     )
-    res = ba.bundle_adjust(prob, iters=iters)
     # write back window poses (drop invalid) and landmark positions
     widx = jnp.where(win_ok & ~fixed, win, K_pool)
     m = m._replace(
@@ -313,7 +315,7 @@ def _local_ba(cfg, m, kf_slot, ind, window: int, n_fixed: int, iters: int):
     )
     # remove observations that ended as BA outliers (edge outlier erasure,
     # Optimizer.cc LocalBundleAdjustment outlier removal)
-    out = (~res.obs_inlier.reshape(window, Mfeat)) & feat_ok
+    out = (~res.obs_inlier) & feat_ok
     new_rows = jnp.where(out, -1, m.kf_obs_lm[win])
     new_rows = jnp.where(win_ok[:, None], new_rows, m.kf_obs_lm[win])
     m = m._replace(kf_obs_lm=m.kf_obs_lm.at[win].set(new_rows))
@@ -494,16 +496,45 @@ def process_new_keyframe(
     ba_fixed: int = 8,
     ba_iters: int = 8,
     cull_check: int = 6,
+    ind: jax.Array | None = None,
 ) -> ms.MapState:
     """The full per-keyframe mapping pipeline with the indicator built once
     and threaded through all stages (the fused-step insert path)."""
-    ind = ms.lm_indicator(m)
+    m, _ = process_new_keyframe_cached(
+        cfg, m, kf_slot, ms.lm_indicator(m) if ind is None else ind,
+        n_neighbors=n_neighbors, max_new=max_new,
+        fuse_neighbors_n=fuse_neighbors_n, ba_window=ba_window,
+        ba_fixed=ba_fixed, ba_iters=ba_iters, cull_check=cull_check,
+    )
+    return m
+
+
+def process_new_keyframe_cached(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    kf_slot: jax.Array,
+    ind: jax.Array,
+    n_neighbors: int = 2,
+    max_new: int = 256,
+    fuse_neighbors_n: int = 4,
+    ba_window: int = 12,
+    ba_fixed: int = 8,
+    ba_iters: int = 8,
+    cull_check: int = 6,
+):
+    """process_new_keyframe with a CARRIED [K,L] observation indicator.
+
+    The full lm_indicator rebuild is a large scatter (~56 ms on a v5e at
+    128x8192); between keyframes only counters change, so the fused chunk
+    step carries the indicator and this path just refreshes the inserted
+    keyframe's row. Returns (map, indicator)."""
+    ind = ms.refresh_indicator_row(m, ind, kf_slot)
     m, ind = _triangulate(cfg, m, kf_slot, ind, n_neighbors, max_new)
     m, ind = _fuse(cfg, m, kf_slot, ind, fuse_neighbors_n)
     m, ind = _local_ba(cfg, m, kf_slot, ind, ba_window, ba_fixed, ba_iters)
     m, ind = _cull_landmarks(cfg, m, kf_slot, ind)
     m, ind = _cull_keyframes(cfg, m, kf_slot, ind, cull_check)
-    return m
+    return m, ind
 
 
 # ---------------------------------------------------------------------------

@@ -324,6 +324,10 @@ class RobotTracker:
             prev_inliers=jnp.int32(self.prev_inliers),
             n_kf=jnp.int32(self.mapctx.n_kf),
             lost=jnp.asarray(False),
+            # carried observation indicator: rebuilt ONLY here (host events —
+            # init, reloc, loop correction, merge); the fused chunk maintains
+            # it incrementally across keyframe inserts
+            obs_ind=ms.lm_indicator(self.mapctx.map),
         )
 
     def adopt_merged_map(self, mapctx: MapContext, S_new_from_old: jax.Array, lm_remap):
@@ -708,6 +712,8 @@ class RobotTracker:
             self._ts = fused.rebase_track_state(
                 self._ts, jnp.asarray(T_old), jnp.asarray(T_new)
             )
+            # correct_loop fused landmarks → the carried indicator is stale
+            self._ts = self._ts._replace(obs_ind=ms.lm_indicator(mc.map))
             self.T_cw = np.asarray(self.T_cw @ np.linalg.inv(T_old) @ T_new)
         return recs
 
@@ -809,7 +815,7 @@ class MonocularSession:
         if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
             mc.ensure_vocabulary()
         if not self.enable_loop_closing:
-            mc.try_close_loop = lambda slot, key: False
+            mc.try_close_loop = lambda slot, key, precomputed=None: False
         return self.tracker.process_frame(image, timestamp)
 
     def process_frames(self, images, timestamps):
@@ -822,7 +828,7 @@ class MonocularSession:
             if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
                 mc.ensure_vocabulary()
             if not self.enable_loop_closing:
-                mc.try_close_loop = lambda slot, key: False
+                mc.try_close_loop = lambda slot, key, precomputed=None: False
             cs = self.tracker.chunk_size
             if (self.tracker.state == TrackingState.OK and self.tracker.use_fused
                     and n - i >= cs):
@@ -875,7 +881,7 @@ class StereoSession(MonocularSession):
         if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
             mc.ensure_vocabulary()
         if not self.enable_loop_closing:
-            mc.try_close_loop = lambda slot, key: False
+            mc.try_close_loop = lambda slot, key, precomputed=None: False
         return self.tracker.process_frame_stereo(image_left, image_right, timestamp)
 
 
@@ -895,5 +901,5 @@ class RGBDSession(MonocularSession):
         if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
             mc.ensure_vocabulary()
         if not self.enable_loop_closing:
-            mc.try_close_loop = lambda slot, key: False
+            mc.try_close_loop = lambda slot, key, precomputed=None: False
         return self.tracker.process_frame_rgbd(image, depth_image, timestamp)

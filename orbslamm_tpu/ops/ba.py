@@ -122,8 +122,16 @@ def pose_optimize(
         J3 = (du_r[..., None, :] @ dpc)[..., 0, :] * has_ur[..., None]  # [N,6]
         return jnp.concatenate([J, J3[..., None, :]], axis=-2)  # [N,3,6]
 
-    def lm_iter(carry, _):
-        T, lam, mask = carry
+    def cost_of(r, pc, mask):
+        """Huber cost from an already-computed residual pass."""
+        rrn2 = jnp.sum(r * r, axis=-1) * inv_s2
+        hub = jnp.where(
+            rrn2 <= chi2_th, rrn2, 2.0 * jnp.sqrt(chi2_th * rrn2) - chi2_th
+        )
+        return jnp.sum(jnp.where(mask & (pc[..., 2] > 1e-3), hub, 0.0))
+
+    def lm_body(carry):
+        T, lam, mask, _ = carry
         r, pc = residual(T)
         behind = pc[..., 2] < 1e-3
         use = mask & ~behind
@@ -138,21 +146,28 @@ def pose_optimize(
         H_lm = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
         dx = -jnp.linalg.solve(H_lm, g)
         T_new = geo.se3_exp(dx) @ T
-        # accept if robust cost decreased
-        def cost(Tc):
-            rr, pcc = residual(Tc)
-            rrn2 = jnp.sum(rr * rr, axis=-1) * inv_s2
-            hub = jnp.where(
-                rrn2 <= chi2_th, rrn2, 2.0 * jnp.sqrt(chi2_th * rrn2) - chi2_th
-            )
-            return jnp.sum(jnp.where(mask & (pcc[..., 2] > 1e-3), hub, 0.0))
-
-        c_old = cost(T)
-        c_new = cost(T_new)
+        # accept if robust cost decreased (c_old reuses this pass's residual)
+        c_old = cost_of(r, pc, mask)
+        r2_, pc2_ = residual(T_new)
+        c_new = cost_of(r2_, pc2_, mask)
         better = c_new < c_old
         T = jnp.where(better, T_new, T)
         lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-6), jnp.minimum(lam * 4.0, 1e4))
-        return (T, lam, mask), None
+        # converged: an ACCEPTED step that is both tiny in the tangent space
+        # and yields negligible cost improvement (or damping pinned at its
+        # cap with no acceptable step) — stop paying for the remaining
+        # iterations (lax.cond skips the body). Both conditions are required:
+        # a damped small step with a flat cost is NOT convergence.
+        done = (
+            better
+            & (c_old - c_new <= 1e-5 * c_old)
+            & (jnp.sum(dx * dx) < 1e-10)
+        ) | (~better & (lam >= 1e4))
+        return (T, lam, mask, done)
+
+    def lm_iter(carry, _):
+        carry = jax.lax.cond(carry[3], lambda c: c, lm_body, carry)
+        return carry, None
 
     def chi2_mask(T):
         r, pc = residual(T)
@@ -162,7 +177,10 @@ def pose_optimize(
     T = T_init
     mask = valid
     for _ in range(rounds):
-        (T, _, _), _ = jax.lax.scan(lm_iter, (T, jnp.float32(1e-2), mask), None, length=iters)
+        (T, _, _, _), _ = jax.lax.scan(
+            lm_iter, (T, jnp.float32(1e-2), mask, jnp.asarray(False)), None,
+            length=iters,
+        )
         mask = chi2_mask(T)
     return PoseOptResult(T_cw=T, inliers=mask, n_inliers=mask.sum().astype(jnp.int32))
 
@@ -263,11 +281,15 @@ def _robust_weights(r, sigma2, use, chi2_th):
     return jnp.where(use, w, 0.0)
 
 
-def _ba_cost(T_cw, K, points, p: BAProblem, use, chi2_th):
-    r, pc, _, _ = _ba_residuals(T_cw, K, points, p)
+def _ba_cost_from_residual(r, pc, p: BAProblem, use, chi2_th):
     chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
     hub = jnp.where(chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * chi2) - chi2_th)
     return jnp.sum(jnp.where(use & (pc[:, 2] > 1e-3), hub, 0.0))
+
+
+def _ba_cost(T_cw, K, points, p: BAProblem, use, chi2_th):
+    r, pc, _, _ = _ba_residuals(T_cw, K, points, p)
+    return _ba_cost_from_residual(r, pc, p, use, chi2_th)
 
 
 def bundle_adjust(
@@ -288,8 +310,8 @@ def bundle_adjust(
     E = p.obs_cam.shape[0]
     chi2_e = _chi2_per_edge(p, chi2_th)
 
-    def step(carry, it):
-        T_cw, points, lam = carry
+    def step_body(carry):
+        T_cw, points, lam, _ = carry
         r, pc, Tc, Kc = _ba_residuals(T_cw, K=p.K, points=points, p=p)
         use = p.obs_valid & (pc[:, 2] > 1e-3) \
             & p.cam_valid[p.obs_cam] & p.point_valid[p.obs_point]
@@ -349,22 +371,245 @@ def bundle_adjust(
         T_new = jnp.where(lock[:, None, None], T_cw, T_new)
         pts_new = points + dp
 
-        c_old = _ba_cost(T_cw, p.K, points, p, p.obs_valid, chi2_e)
+        # c_old from the residual pass already computed above
+        c_old = _ba_cost_from_residual(r, pc, p, p.obs_valid, chi2_e)
         c_new = _ba_cost(T_new, p.K, pts_new, p, p.obs_valid, chi2_e)
         finite = jnp.isfinite(c_new) & jnp.isfinite(T_new).all() & jnp.isfinite(pts_new).all()
         better = (c_new < c_old) & finite
         T_cw = jnp.where(better, T_new, T_cw)
         points = jnp.where(better, pts_new, points)
         lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 5.0, 1e3))
-        return (T_cw, points, lam), c_new
+        # converged (or damping pinned with no acceptable step): skip the
+        # remaining iterations' work via lax.cond. Requires BOTH a tiny
+        # accepted update and negligible improvement — either alone can be
+        # a damped stall, not convergence.
+        step_sq = jnp.sum(dc * dc) + jnp.sum(dp * dp)
+        done = (
+            better & (c_old - c_new <= 1e-5 * c_old) & (step_sq < 1e-10)
+        ) | (~better & (lam >= 1e3))
+        return (T_cw, points, lam, done)
 
-    (T_cw, points, _), costs = jax.lax.scan(
-        step, (p.T_cw, p.points, jnp.float32(lam0)), jnp.arange(iters)
+    def step(carry, it):
+        carry = jax.lax.cond(carry[3], lambda c: c, step_body, carry)
+        return carry, None
+
+    (T_cw, points, _, _), _ = jax.lax.scan(
+        step, (p.T_cw, p.points, jnp.float32(lam0), jnp.asarray(False)),
+        jnp.arange(iters),
     )
     r, pc, _, _ = _ba_residuals(T_cw, p.K, points, p)
     chi2 = jnp.sum(r * r, -1) / p.obs_sigma2
     inlier = p.obs_valid & (chi2 <= chi2_e) & (pc[:, 2] > 1e-3)
-    return BAResult(T_cw=T_cw, points=points, obs_inlier=inlier, cost=costs[-1])
+    final_cost = _ba_cost_from_residual(r, pc, p, p.obs_valid, chi2_e)
+    return BAResult(T_cw=T_cw, points=points, obs_inlier=inlier, cost=final_cost)
+
+
+# ---------------------------------------------------------------------------
+# Window-structured BA (scatter-free: the local-mapping hot path)
+# ---------------------------------------------------------------------------
+
+class WindowBAResult(NamedTuple):
+    T_cw: jax.Array  # [W,4,4]
+    points: jax.Array  # [P,3]
+    obs_inlier: jax.Array  # [W,M]
+    cost: jax.Array
+
+
+def _window_incidence(obs_point, obs_valid, P: int):
+    """[W,P] feature-slot lookup: idx[w,p] = which of camera w's M features
+    observes point p (M = none). A keyframe observes a landmark at most
+    once, so the table is exact — and it turns every per-point reduction in
+    the LM loop into a GATHER. TPU scatters serialize per update (~50 ms
+    for a 2048-update scatter-add on a v5e); gathers are fast. Built once
+    per BA call (argsort + searchsorted), reused by every iteration."""
+    W, M = obs_point.shape
+    key = jnp.where(obs_valid, obs_point, P)
+    perm = jnp.argsort(key, axis=1)
+    sk = jnp.take_along_axis(key, perm, axis=1)
+    pids = jnp.arange(P)
+    start = jax.vmap(lambda s: jnp.searchsorted(s, pids, side="left"))(sk)
+    end = jax.vmap(lambda s: jnp.searchsorted(s, pids, side="right"))(sk)
+    has = end > start
+    idx = jnp.take_along_axis(perm, jnp.minimum(start, M - 1), axis=1)
+    return jnp.where(has, idx, M), has
+
+
+def bundle_adjust_window(
+    T_cw: jax.Array,  # [W,4,4]
+    K: jax.Array,  # [W,3,3]
+    cam_valid: jax.Array,  # [W]
+    cam_fixed: jax.Array,  # [W]
+    points: jax.Array,  # [P,3]
+    point_valid: jax.Array,  # [P]
+    obs_point: jax.Array,  # [W,M] int32 point index per camera feature
+    obs_uv: jax.Array,  # [W,M,2]
+    obs_sigma2: jax.Array,  # [W,M]
+    obs_valid: jax.Array,  # [W,M]
+    iters: int = 8,
+    chi2_th: float = CHI2_MONO,
+    lam0: float = 1e-4,
+    obs_ur: jax.Array | None = None,  # [W,M]
+    bf: jax.Array | None = None,  # [W]
+) -> WindowBAResult:
+    """Schur-complement LM for a covisibility WINDOW, fully scatter-free.
+
+    Same math as ``bundle_adjust`` (reference LocalBundleAdjustment,
+    Optimizer.cc:475) but exploits the window's [W,M] observation layout:
+    camera-block reductions are plain einsums over each camera's own
+    features, and point-block reductions go through the [W,P] incidence
+    gather (see _window_incidence) — no scatter anywhere in the LM loop.
+    """
+    W, M = obs_point.shape
+    P = points.shape[0]
+    chi2_e = chi2_th if obs_ur is None else jnp.where(
+        obs_ur >= 0.0, CHI2_STEREO, chi2_th
+    )
+    idx_wp, has_wp = _window_incidence(obs_point, obs_valid, P)
+
+    def gather_wp(X):
+        """[W,M,F] -> [W,P,F], zero where camera w does not observe p."""
+        Xp = jnp.concatenate([X, jnp.zeros_like(X[:, :1])], axis=1)
+        return jnp.take_along_axis(Xp, idx_wp[:, :, None], axis=1)
+
+    pt_of = jnp.clip(obs_point, 0, P - 1)
+    free = ~cam_fixed
+
+    def residual(T_all, pts):
+        pw = pts[pt_of]  # [W,M,3]
+        R, t = T_all[:, :3, :3], T_all[:, :3, 3]
+        pc = jnp.einsum("wij,wmj->wmi", R, pw) + t[:, None, :]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        fx = K[:, 0, 0][:, None]
+        fy = K[:, 1, 1][:, None]
+        cx = K[:, 0, 2][:, None]
+        cy = K[:, 1, 2][:, None]
+        u = fx * pc[..., 0] / z + cx
+        v = fy * pc[..., 1] / z + cy
+        r = jnp.stack([u, v], -1) - obs_uv
+        if obs_ur is not None:
+            r3 = (u - bf[:, None] / z - obs_ur) * (obs_ur >= 0.0)
+            r = jnp.concatenate([r, r3[..., None]], -1)
+        return r, pc
+
+    def jacobians(pc, T_all):
+        fx = K[:, 0, 0][:, None]
+        fy = K[:, 1, 1][:, None]
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        zi = 1.0 / jnp.maximum(z, 1e-6)
+        zi2 = zi * zi
+        zero = jnp.zeros_like(x)
+        du = jnp.stack([fx * zi, zero, -fx * x * zi2], -1)
+        dv = jnp.stack([zero, fy * zi, -fy * y * zi2], -1)
+        rows = [du, dv]
+        if obs_ur is not None:
+            has = (obs_ur >= 0.0).astype(pc.dtype)
+            dur = jnp.stack(
+                [fx * zi, zero, -fx * x * zi2 + bf[:, None] * zi2], -1
+            )
+            rows.append(dur * has[..., None])
+        dpd = jnp.stack(rows, -2)  # [W,M,D,3]
+        px = geo.skew(pc)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), px.shape)
+        Jc = dpd @ jnp.concatenate([eye, -px], -1)  # [W,M,D,6]
+        Jp = dpd @ T_all[:, None, :3, :3]  # [W,M,D,3]
+        return Jc, Jp
+
+    def cost_of(r, pc, use):
+        chi2 = jnp.sum(r * r, -1) / obs_sigma2
+        hub = jnp.where(
+            chi2 <= chi2_e, chi2, 2.0 * jnp.sqrt(chi2_e * chi2) - chi2_e
+        )
+        return jnp.sum(jnp.where(use & (pc[..., 2] > 1e-3), hub, 0.0))
+
+    base_use = obs_valid & cam_valid[:, None] & point_valid[pt_of]
+
+    def step_body(carry):
+        T_all, pts, lam, _ = carry
+        r, pc = residual(T_all, pts)
+        use = base_use & (pc[..., 2] > 1e-3)
+        rn = jnp.linalg.norm(r, axis=-1)
+        delta = jnp.sqrt(chi2_e * obs_sigma2)
+        w = jnp.where(rn > delta, delta / jnp.maximum(rn, 1e-9), 1.0) / obs_sigma2
+        w = jnp.where(use, w, 0.0)
+        Jc, Jp = jacobians(pc, T_all)
+        Jc = Jc * free[:, None, None, None]
+        wJc = Jc * w[..., None, None]
+        wJp = Jp * w[..., None, None]
+
+        # camera blocks: plain per-camera reductions over the M axis
+        Hcc = jnp.einsum("wmia,wmib->wab", wJc, Jc)
+        gc = jnp.einsum("wmia,wmi->wa", wJc, r)
+        # point blocks + camera-point coupling: incidence GATHERS
+        opp = jnp.einsum("wmia,wmib->wmab", wJp, Jp).reshape(W, M, 9)
+        Hpp = gather_wp(opp).sum(0).reshape(P, 3, 3)
+        gp_ = jnp.einsum("wmia,wmi->wma", wJp, r)
+        gp = gather_wp(gp_).sum(0)  # [P,3]
+        ocp = jnp.einsum("wmia,wmib->wmab", wJc, Jp).reshape(W, M, 18)
+        Wd = gather_wp(ocp).reshape(W, P, 6, 3)
+
+        Hcc_d = Hcc + ((lam + 1e-5) * jnp.eye(6))[None] * jnp.maximum(
+            jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0
+        )
+        Hpp_d = Hpp + ((lam + 1e-5) * jnp.eye(3))[None] * jnp.maximum(
+            jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
+        )
+        w_per_pt = gather_wp(w[..., None]).sum(0)[:, 0]
+        observed = w_per_pt > 1e-9
+        Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        WHinv = jnp.einsum("wpab,pbd->wpad", Wd, Hpp_inv)
+        S = jnp.einsum("wpad,vpbd->wvab", WHinv, Wd)
+        Sfull = -S
+        Sfull = Sfull.at[jnp.arange(W), jnp.arange(W)].add(Hcc_d)
+        rhs = gc - jnp.einsum("wpad,pd->wa", WHinv, gp)
+        Smat = Sfull.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+        lock = cam_fixed | ~cam_valid
+        lockv = jnp.repeat(lock, 6)
+        Smat = jnp.where(lockv[:, None] | lockv[None, :], jnp.eye(W * 6), Smat)
+        rhsv = jnp.where(lockv, 0.0, rhs.reshape(-1))
+        dc = -jnp.linalg.solve(Smat, rhsv).reshape(W, 6)
+        Wt_dc = jnp.einsum("wpab,wa->pb", Wd, dc)
+        dp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + Wt_dc)
+        dp = dp * (point_valid & observed)[:, None]
+
+        T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, T_all)
+        T_new = jnp.where(lock[:, None, None], T_all, T_new)
+        pts_new = pts + dp
+
+        c_old = cost_of(r, pc, base_use)
+        r2_, pc2_ = residual(T_new, pts_new)
+        c_new = cost_of(r2_, pc2_, base_use)
+        finite = (
+            jnp.isfinite(c_new)
+            & jnp.isfinite(T_new).all()
+            & jnp.isfinite(pts_new).all()
+        )
+        better = (c_new < c_old) & finite
+        T_all = jnp.where(better, T_new, T_all)
+        pts = jnp.where(better, pts_new, pts)
+        lam = jnp.where(
+            better, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 5.0, 1e3)
+        )
+        step_sq = jnp.sum(dc * dc) + jnp.sum(dp * dp)
+        done = (
+            better & (c_old - c_new <= 1e-5 * c_old) & (step_sq < 1e-10)
+        ) | (~better & (lam >= 1e3))
+        return (T_all, pts, lam, done)
+
+    def step(carry, _):
+        return jax.lax.cond(carry[3], lambda c: c, step_body, carry), None
+
+    (T_all, pts, _, _), _ = jax.lax.scan(
+        step, (T_cw, points, jnp.float32(lam0), jnp.asarray(False)),
+        None, length=iters,
+    )
+    r, pc = residual(T_all, pts)
+    chi2 = jnp.sum(r * r, -1) / obs_sigma2
+    inlier = obs_valid & (chi2 <= chi2_e) & (pc[..., 2] > 1e-3)
+    final_cost = cost_of(r, pc, base_use)
+    return WindowBAResult(T_cw=T_all, points=pts, obs_inlier=inlier,
+                          cost=final_cost)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,235 @@
+"""Robot-parallel stream bank: R SLAM streams stepped in ONE sharded dispatch.
+
+The reference runs one ``System`` (a set of threads) per robot inside a
+single process, sharing one MultiMapper (mono_kitti_dif-Seq.cc:87-101;
+SURVEY.md §2.3 P7). The TPU-native counterpart is data parallelism over a
+robot axis:
+
+  * each robot's (MapState, TrackState, K) pytrees are STACKED along a
+    leading ``[R, ...]`` axis and sharded over a ``jax.sharding.Mesh``
+    (robots are independent between merges — zero collectives on the hot
+    path, so scaling efficiency is bounded only by load balance);
+  * the fused chunk step (models/fused) is vmapped over that axis: one
+    jitted dispatch advances EVERY stream by ``chunk_size`` frames;
+  * keyframe-rate host events (BoW database rows, loop closing, cross-map
+    merge scans) run per robot off the fetched summaries, exactly like the
+    single-stream chunk path — rare, control-heavy, host-coordinated.
+
+Constraints: all streams must share the image size and ORB config (one
+compiled extractor); per-robot calibration K MAY differ (it is a vmapped
+argument — the reference's KITTI 00 + 07 demo uses two settings files).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslamm_tpu.models import fused
+from orbslamm_tpu.models import map_state as ms
+from orbslamm_tpu.models.fused import FrameSummary, TrackState
+from orbslamm_tpu.utils.config import SlamConfig
+from orbslamm_tpu.utils.trace import get_tracer
+
+
+def make_multistream_chunk_step(cfg: SlamConfig, extract_fn):
+    """jit(vmap(chunk)) over a leading robot axis.
+
+    Returns step(m[R,...], ts[R,...], K[R,3,3], images[R,C,H,W],
+    frame_ids[R,C], timestamps[R,C], allow_kf[R]) ->
+    (m, ts, summaries[R,C])."""
+    body = fused._make_frame_body(cfg, extract_fn)
+
+    def one_robot(m, ts, K, images, frame_ids, timestamps, allow_kf):
+        return fused._chunk_body(
+            body, extract_fn, m, ts, images, frame_ids, timestamps, K,
+            allow_kf,
+        )
+
+    return functools.partial(jax.jit, donate_argnums=(0, 1))(
+        jax.vmap(one_robot)
+    )
+
+
+def stack_trees(trees):
+    """Stack a list of identically-shaped pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def tree_slice(tree, r: int):
+    return jax.tree.map(lambda x: x[r], tree)
+
+
+def tree_set(tree, r: int, sub):
+    return jax.tree.map(lambda all_, one: all_.at[r].set(one), tree, sub)
+
+
+def shard_streams(tree, mesh, axis: str | None = None):
+    """Place every leaf with its leading (robot) axis sharded over ``mesh``.
+
+    Plain device_put with a NamedSharding — XLA then propagates the sharding
+    through the jitted step, compiling a per-device program that advances
+    R/len(mesh) robots with no collectives. ``axis`` defaults to the mesh's
+    first axis name."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+class StreamBank:
+    """Drives R bootstrapped RobotTrackers through the vmapped chunk step.
+
+    Usage: bootstrap each robot on the host per-frame path until it reaches
+    TrackingState.OK (two-view initialization is a rare, host-decided
+    event), then ``bank = StreamBank(cfg, trackers, mesh=...)`` and call
+    ``bank.process_chunk(images[R,C], stamps[R,C])`` repeatedly.
+    ``bank.sync_to_trackers()`` writes device state back into the trackers
+    for trajectory export / merging."""
+
+    def __init__(self, cfg: SlamConfig, trackers, mesh=None, chunk_size: int = 8):
+        self.cfg = cfg
+        self.trackers = list(trackers)
+        self.mesh = mesh
+        self.chunk_size = chunk_size
+        if not self.trackers:
+            raise ValueError("StreamBank needs at least one tracker")
+        ext = self.trackers[0].extract
+        self._step = make_multistream_chunk_step(cfg, ext)
+        # stack per-robot device state [R, ...]
+        for t in self.trackers:
+            if t._ts is None:
+                t._ts = t._make_ts()
+        self.m_all = stack_trees([t.mapctx.map for t in self.trackers])
+        self.ts_all = stack_trees([t._ts for t in self.trackers])
+        self.K_all = jnp.stack([t.K for t in self.trackers])
+        if mesh is not None:
+            self.m_all = shard_streams(self.m_all, mesh)
+            self.ts_all = shard_streams(self.ts_all, mesh)
+            self.K_all = shard_streams(self.K_all, mesh)
+        # trackers' host-side map references go stale while the bank runs;
+        # mark them so accidental per-frame stepping is caught
+        self._dirty = [False] * len(self.trackers)
+
+    @property
+    def n_streams(self) -> int:
+        return len(self.trackers)
+
+    def process_chunk(self, images, timestamps):
+        """Advance every stream by one chunk in ONE dispatch.
+
+        images: [R, C, H, W] uint8 (numpy or device), timestamps: [R, C].
+        Returns per-robot lists of FrameRecord."""
+        from orbslamm_tpu.models.system import FrameRecord, TrackingState
+
+        R, C = len(self.trackers), len(timestamps[0])
+        imgs = jnp.asarray(images)
+        fids = jnp.stack([
+            jnp.arange(t.frame_id + 1, t.frame_id + 1 + C, dtype=jnp.int32)
+            for t in self.trackers
+        ])
+        stamps = jnp.asarray(np.asarray(timestamps, np.float32))
+        allow = jnp.asarray(
+            [not t.localization_only for t in self.trackers]
+        )
+        tr = get_tracer()
+        with tr.span("multistream_chunk", n_streams=R, chunk=C):
+            self.m_all, self.ts_all, summaries = self._step(
+                self.m_all, self.ts_all, self.K_all, imgs, fids, stamps, allow
+            )
+            s = jax.device_get(summaries)  # ONE host sync for all streams
+
+        all_recs = []
+        for r, t in enumerate(self.trackers):
+            mc = t.mapctx
+            recs = []
+            new_kfs = []
+            for j in range(C):
+                t.frame_id += 1
+                ok = bool(s.tracking_ok[r, j])
+                n_inl = int(s.n_inliers[r, j]) if ok else 0
+                if ok:
+                    t.T_cw = np.asarray(s.T_cw[r, j])
+                    if bool(s.new_kf[r, j]):
+                        slot = int(s.kf_slot[r, j])
+                        mc.n_kf = slot + 1
+                        new_kfs.append(slot)
+                        tr.incr("keyframes_inserted")
+                else:
+                    t.state = TrackingState.LOST
+                rec = FrameRecord(
+                    frame_id=t.frame_id,
+                    timestamp=float(timestamps[r][j]),
+                    T_cw=np.asarray(t.T_cw),
+                    state=t.state.name,
+                    n_inliers=n_inl,
+                    map_id=mc.map_id,
+                )
+                t.frames.append(rec)
+                recs.append(rec)
+            self._dirty[r] = self._dirty[r] or bool(new_kfs)
+            # keyframe-rate host events on this robot's slice
+            if new_kfs and (mc.voc is not None or t.on_keyframe is not None):
+                self._sync_tracker(r)
+                mc.update_bow_rows(new_kfs)
+                pre = mc.loop_scan(new_kfs)
+                changed = False
+                for slot in new_kfs:
+                    t._key, sub = jax.random.split(t._key)
+                    if mc.try_close_loop(slot, sub, precomputed=pre.get(slot)):
+                        # loop correction moved the map: restart the motion
+                        # model at the corrected keyframe (single-stream
+                        # _track_fused does the same)
+                        changed = True
+                        t._sync_from_ts()
+                        t.T_cw = t.mapctx.map.kf_pose[slot]
+                        t.last_T = t.T_cw
+                        t.velocity = jnp.eye(4)
+                    if t.on_keyframe is not None:
+                        t.on_keyframe(t, slot)
+                        if t.mapctx is not mc:
+                            changed = True  # merged into another map
+                            break
+                if changed:
+                    # write the corrected map back into the stacked state
+                    self.m_all = tree_set(self.m_all, r, t.mapctx.map)
+                    self.ts_all = tree_set(
+                        self.ts_all, r,
+                        t._make_ts() if t._ts is None else t._ts,
+                    )
+            all_recs.append(recs)
+        return all_recs
+
+    def reset_stream(self, r: int):
+        """Adopt tracker ``r``'s CURRENT host state into the bank — call
+        after the owner handled a loss (new map / reset / relocalization)
+        or a merge changed the robot's active map."""
+        t = self.trackers[r]
+        if t._ts is None:
+            t._ts = t._make_ts()
+        self.m_all = tree_set(self.m_all, r, t.mapctx.map)
+        self.ts_all = tree_set(self.ts_all, r, t._ts)
+        self._dirty[r] = False
+
+    def _sync_tracker(self, r: int):
+        """Materialize robot ``r``'s map slice into its MapContext."""
+        t = self.trackers[r]
+        t.mapctx.map = tree_slice(self.m_all, r)
+        t._ts = tree_slice(self.ts_all, r)
+        self._dirty[r] = False
+
+    def sync_to_trackers(self):
+        """Write all device state back into the trackers (for trajectory
+        export, merging, serialization)."""
+        for r in range(len(self.trackers)):
+            self._sync_tracker(r)
+            self.trackers[r]._sync_from_ts()
