@@ -342,7 +342,7 @@ def bundle_adjust(
         w_per_pt = jnp.zeros((points.shape[0],)).at[p.obs_point].add(w)
         observed = w_per_pt > 1e-9
         Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = _inv3x3(Hpp_d)
 
         # W = Hcp: dense [C,P,6,3] scatter (local-BA scale)
         Wcp = jnp.einsum("eia,eib->eab", wJc, Jp)  # [E,6,3]
@@ -415,23 +415,53 @@ class WindowBAResult(NamedTuple):
     cost: jax.Array
 
 
+def _inv3x3(A: jax.Array) -> jax.Array:
+    """Batched closed-form (adjugate) 3x3 inverse.
+
+    ``jnp.linalg.inv`` on a [P,3,3] batch lowers to batched LU (~7 ms at
+    P=8192 on a v5e); the cofactor formula is ~50 VPU flops per matrix and
+    fuses into the surrounding program. Callers damp the diagonal first, so
+    det > 0 is guaranteed."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], -1),
+            jnp.stack([co10, co11, co12], -1),
+            jnp.stack([co20, co21, co22], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _window_incidence(obs_point, obs_valid, P: int):
     """[W,P] feature-slot lookup: idx[w,p] = which of camera w's M features
     observes point p (M = none). A keyframe observes a landmark at most
     once, so the table is exact — and it turns every per-point reduction in
-    the LM loop into a GATHER. TPU scatters serialize per update (~50 ms
-    for a 2048-update scatter-add on a v5e); gathers are fast. Built once
-    per BA call (argsort + searchsorted), reused by every iteration."""
+    the LM loop into a GATHER. Computed as a streaming compare+min-reduce:
+    binary search (searchsorted) costs ~20 ms per vmap'd call on a v5e
+    (13 serial irregular-gather rounds), while the [W,M,P] equality compare
+    fuses into a sub-ms VPU reduction. Built once per BA call."""
     W, M = obs_point.shape
     key = jnp.where(obs_valid, obs_point, P)
-    perm = jnp.argsort(key, axis=1)
-    sk = jnp.take_along_axis(key, perm, axis=1)
-    pids = jnp.arange(P)
-    start = jax.vmap(lambda s: jnp.searchsorted(s, pids, side="left"))(sk)
-    end = jax.vmap(lambda s: jnp.searchsorted(s, pids, side="right"))(sk)
-    has = end > start
-    idx = jnp.take_along_axis(perm, jnp.minimum(start, M - 1), axis=1)
-    return jnp.where(has, idx, M), has
+    pids = jnp.arange(P, dtype=key.dtype)
+    hit = key[:, :, None] == pids[None, None, :]  # [W,M,P], fused reduce
+    marr = jnp.arange(M, dtype=jnp.int32)
+    idx = jnp.min(jnp.where(hit, marr[None, :, None], M), axis=1)  # [W,P]
+    return idx, idx < M
 
 
 def bundle_adjust_window(
@@ -539,13 +569,16 @@ def bundle_adjust_window(
         # camera blocks: plain per-camera reductions over the M axis
         Hcc = jnp.einsum("wmia,wmib->wab", wJc, Jc)
         gc = jnp.einsum("wmia,wmi->wa", wJc, r)
-        # point blocks + camera-point coupling: incidence GATHERS
+        # point blocks + camera-point coupling: ONE fused incidence gather
+        # for all four per-point tensors (Hpp 9 + gp 3 + Wcp 18 + w 1 lanes)
         opp = jnp.einsum("wmia,wmib->wmab", wJp, Jp).reshape(W, M, 9)
-        Hpp = gather_wp(opp).sum(0).reshape(P, 3, 3)
         gp_ = jnp.einsum("wmia,wmi->wma", wJp, r)
-        gp = gather_wp(gp_).sum(0)  # [P,3]
         ocp = jnp.einsum("wmia,wmib->wmab", wJc, Jp).reshape(W, M, 18)
-        Wd = gather_wp(ocp).reshape(W, P, 6, 3)
+        packed = jnp.concatenate([opp, gp_, ocp, w[..., None]], axis=-1)
+        G = gather_wp(packed)  # [W,P,31]
+        Hpp = G[..., 0:9].sum(0).reshape(P, 3, 3)
+        gp = G[..., 9:12].sum(0)  # [P,3]
+        Wd = G[..., 12:30].reshape(W, P, 6, 3)
 
         Hcc_d = Hcc + ((lam + 1e-5) * jnp.eye(6))[None] * jnp.maximum(
             jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0
@@ -553,10 +586,10 @@ def bundle_adjust_window(
         Hpp_d = Hpp + ((lam + 1e-5) * jnp.eye(3))[None] * jnp.maximum(
             jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
         )
-        w_per_pt = gather_wp(w[..., None]).sum(0)[:, 0]
+        w_per_pt = G[..., 30].sum(0)
         observed = w_per_pt > 1e-9
         Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = _inv3x3(Hpp_d)
 
         WHinv = jnp.einsum("wpab,pbd->wpad", Wd, Hpp_inv)
         S = jnp.einsum("wpad,vpbd->wvab", WHinv, Wd)
@@ -752,7 +785,7 @@ def bundle_adjust_cg(
         w_per_pt = jnp.zeros((Pn,)).at[p.obs_point].add(w)
         observed = w_per_pt > 1e-9
         Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = _inv3x3(Hpp_d)
 
         Wcp = jnp.einsum("eia,eib->eab", wJc, Jp)  # [E,6,3] per-edge camera-point block
 

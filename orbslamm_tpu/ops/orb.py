@@ -165,25 +165,35 @@ def select_level_keypoints(
     keep &= border
     eff = jnp.where(keep, score, -1.0)
 
-    # pad to cell multiples, rank within each cell by response
+    # pad to cell multiples; per-cell top-kc replaces the double argsort
+    # (two [n_cells, cell^2] argsorts + one [H*W] top_k are three ~HW-sized
+    # sorts per level — the kc-candidate cut keeps the global sort at
+    # [n_cells*kc] and one per-cell partial sort, ~3x cheaper on the VPU)
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell
+    nch, ncw = Hp // cell, Wp // cell
+    n_cells = nch * ncw
     effp = jnp.full((Hp, Wp), -1.0, jnp.float32).at[:H, :W].set(eff)
-    cells = effp.reshape(Hp // cell, cell, Wp // cell, cell)
-    cells = cells.transpose(0, 2, 1, 3).reshape(-1, cell * cell)
-    order = jnp.argsort(-cells, axis=1)
-    rank = jnp.argsort(order, axis=1).astype(jnp.float32)  # rank within cell
-    rank = rank.reshape(Hp // cell, Wp // cell, cell, cell).transpose(0, 2, 1, 3)
-    rank = rank.reshape(Hp, Wp)[:H, :W]
+    cells = effp.reshape(nch, cell, ncw, cell)
+    cells = cells.transpose(0, 2, 1, 3).reshape(n_cells, cell * cell)
+    kc = min(cell * cell, max(8, -(-4 * n_slots // n_cells)))
+    vals, pos = jax.lax.top_k(cells, kc)  # [n_cells, kc], response-sorted
 
     # selection key: spread first (cell rank), then strength
-    key = jnp.where(eff > 0, rank * 512.0 + (256.0 - jnp.minimum(eff, 255.0)), 1e9)
-    neg_key, idx = jax.lax.top_k(-key.reshape(-1), n_slots)
+    rank = jnp.broadcast_to(
+        jnp.arange(kc, dtype=jnp.float32)[None, :], vals.shape
+    )
+    key = jnp.where(vals > 0, rank * 512.0 + (256.0 - jnp.minimum(vals, 255.0)), 1e9)
+    neg_key, sel = jax.lax.top_k(-key.reshape(-1), n_slots)
     valid = neg_key > -1e9
-    y = idx // W
-    x = idx % W
+    cell_id = sel // kc
+    within = pos.reshape(-1)[sel]
+    x = (cell_id % ncw) * cell + within % cell
+    y = (cell_id // ncw) * cell + within // cell
     xy = jnp.stack([x, y], axis=-1).astype(jnp.int32)
-    resp = eff.reshape(-1)[idx]
+    # padding cells never win (eff=-1 ⇒ key=1e9 ⇒ ~valid), but clamp anyway
+    xy = jnp.minimum(xy, jnp.asarray([W - 1, H - 1], jnp.int32))
+    resp = vals.reshape(-1)[sel]
     return xy, jnp.where(valid, resp, 0.0), valid
 
 
