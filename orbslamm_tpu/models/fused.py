@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from orbslamm_tpu.models import local_mapping as lm_stage
 from orbslamm_tpu.models import map_state as ms
 from orbslamm_tpu.models import tracking as trk
+from orbslamm_tpu.ops import bow as bow_ops
 from orbslamm_tpu.ops import geometry as geo
 from orbslamm_tpu.ops.orb import Features
 from orbslamm_tpu.utils.config import SlamConfig
@@ -58,9 +59,16 @@ class FrameSummary(NamedTuple):
     tracking_ok: jax.Array  # bool
     new_kf: jax.Array  # bool
     kf_slot: jax.Array  # i32 (valid when new_kf)
+    # in-chunk loop-candidate scan (KeyFrameDatabase::DetectLoopCandidates
+    # computed ON DEVICE at keyframe insertion — no extra dispatch/fetch):
+    # [K] BoW similarity per database keyframe, -1 where inadmissible
+    # (covisible / too recent / invalid); None when the step was built
+    # without a vocabulary
+    loop_scores: jax.Array | None = None
+    loop_min_score: jax.Array | None = None  # minScore normalizer (f32)
 
 
-def _make_frame_body(cfg: SlamConfig, extract_fn):
+def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
     """The traced per-frame body shared by the single-frame step and the
     chunked lax.scan step.
 
@@ -69,10 +77,18 @@ def _make_frame_body(cfg: SlamConfig, extract_fn):
     batches extraction across the chunk outside the sequential scan).
     ``K`` is a step argument so the robot-parallel bank (parallel/streams)
     can vmap one program over robots with different calibrations
-    (mono_kitti_dif-Seq runs KITTI 00 + 07 with different settings files)."""
+    (mono_kitti_dif-Seq runs KITTI 00 + 07 with different settings files).
 
-    def step(m: ms.MapState, ts: TrackState, image, frame_id, timestamp,
-             K, allow_kf=True):
+    ``with_bow``: fold the keyframe-rate BoW work INTO the step — on
+    keyframe insertion the new keyframe's BoW row is computed and written
+    into the carried ``kf_bow`` database, and loop-candidate scores +
+    minScore (KeyFrameDatabase::DetectLoopCandidates + LoopClosing.cc:131)
+    are emitted in the FrameSummary. This removes the per-chunk host
+    dispatches/fetches for place recognition entirely: the host only runs
+    the (rare) Sim3 verification when a candidate clears the floor."""
+
+    def step(m: ms.MapState, ts: TrackState, kf_bow, voc, image, frame_id,
+             timestamp, K, allow_kf=True):
         # allow_kf: traced bool; False = localization-only mode (reference
         # System::ActivateLocalizationMode / Tracking::mbOnlyTracking —
         # track against the frozen map, never insert keyframes)
@@ -120,9 +136,14 @@ def _make_frame_body(cfg: SlamConfig, extract_fn):
         slot = ts.n_kf
 
         have_ind = ts.obs_ind is not None
+        Kcap = cfg.capacity.max_keyframes
+        min_gap = cfg.loop.kfs_between_loops
+
+        def no_scores():
+            return (jnp.full((Kcap,), -1.0, jnp.float32), jnp.float32(0.0))
 
         def insert(operand):
-            m_in, ind_in, feats_in, feat_lm_in = operand
+            m_in, ind_in, bow_in, feats_in, feat_lm_in = operand
             m2 = ms.insert_keyframe(
                 m_in, slot, r2.T_cw, K, feats_in, feat_lm_in, frame_id, timestamp
             )
@@ -130,13 +151,39 @@ def _make_frame_body(cfg: SlamConfig, extract_fn):
             # threaded through all stages (triangulate → fuse → local BA →
             # landmark/keyframe culling)
             if have_ind:
-                return lm_stage.process_new_keyframe_cached(cfg, m2, slot, ind_in)
-            return lm_stage.process_new_keyframe(cfg, m2, slot), ind_in
+                m3, ind3 = lm_stage.process_new_keyframe_cached(cfg, m2, slot, ind_in)
+            else:
+                m3, ind3 = lm_stage.process_new_keyframe(cfg, m2, slot), ind_in
+            if not with_bow:
+                return m3, ind3, bow_in, *no_scores()
+            # BoW row of the new keyframe + loop-candidate scan, on device
+            words = bow_ops.assign_words(voc, feats_in.desc, feats_in.valid)
+            row = bow_ops.bow_vector(voc, words)
+            bow2 = bow_in.at[slot].set(row)
+            scores = bow_ops.bow_score(row, bow2)  # [K]
+            conn = (ind3 @ ind3[slot]) > 0 if have_ind else (
+                ms.covisibility(m3)[slot] > 0
+            )
+            ids = jnp.arange(Kcap, dtype=jnp.int32)
+            allowed = (
+                m3.kf_valid
+                & (ids != slot)
+                & ~conn
+                & (ids < slot - min_gap + 1)
+            )
+            cov_scores = jnp.where(conn & m3.kf_valid, scores, jnp.inf)
+            mn = jnp.minimum(jnp.min(cov_scores), 1.0)
+            mn = jnp.where(jnp.isfinite(mn), mn, 0.05)
+            return m3, ind3, bow2, jnp.where(allowed, scores, -1.0), mn
+
+        def no_insert(operand):
+            m_in, ind_in, bow_in, *_ = operand
+            return m_in, ind_in, bow_in, *no_scores()
 
         ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
-        m, ind = jax.lax.cond(
-            need_kf, insert, lambda o: (o[0], o[1]),
-            (m, ind0, feats, r2.feat_lm),
+        m, ind, kf_bow, lscores, lmin = jax.lax.cond(
+            need_kf, insert, no_insert,
+            (m, ind0, kf_bow, feats, r2.feat_lm),
         )
 
         # state update (frozen when tracking failed — host decides LOST)
@@ -167,8 +214,10 @@ def _make_frame_body(cfg: SlamConfig, extract_fn):
             tracking_ok=ok,
             new_kf=need_kf,
             kf_slot=slot,
+            loop_scores=lscores if with_bow else None,
+            loop_min_score=lmin if with_bow else None,
         )
-        return m, ts_next, summary
+        return m, ts_next, kf_bow, summary
 
     return step
 
@@ -194,42 +243,51 @@ def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(m, ts, image, frame_id, timestamp, allow_kf=True):
-        return body(m, ts, image, frame_id, timestamp, K, allow_kf)
+        m, ts, _, summary = body(
+            m, ts, jnp.zeros((), jnp.float32), None, image, frame_id,
+            timestamp, K, allow_kf,
+        )
+        return m, ts, summary
 
     return step
 
 
-def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array):
+def make_chunk_step(cfg: SlamConfig, extract_fn, K: jax.Array,
+                    with_bow: bool = False):
     """Build the CHUNKED fused step: lax.scan of the frame body over a batch
     of N frames, ONE dispatch + ONE host sync per chunk.
 
     Rationale: on a remote-attached TPU every host sync costs a full network
     round trip (~30 ms on the axon tunnel), which caps any one-sync-per-frame
     design at ~linerate/RTT. Scanning N frames per dispatch amortizes the RTT
-    N-fold; keyframe-rate host events (BoW rows, loop closing, merging) are
-    handled after the chunk from the stacked summaries — the same delayed
-    semantics as the reference's async LoopClosing/MultiMapper queues
-    (LoopClosing.cc:96-107).
+    N-fold; keyframe-rate host events (loop closing, merging) are handled
+    after the chunk from the stacked summaries — the same delayed semantics
+    as the reference's async LoopClosing/MultiMapper queues
+    (LoopClosing.cc:96-107). With ``with_bow`` the BoW database update and
+    loop-candidate scan also ride inside the program (see _make_frame_body).
 
-    Returns step(m, ts, images[N,H,W], frame_ids[N], timestamps[N], allow_kf)
-    -> (m, ts, FrameSummary stacked along axis 0).
+    Returns step(m, ts, kf_bow, voc, images[N,H,W], frame_ids[N],
+    timestamps[N], allow_kf) -> (m, ts, kf_bow, FrameSummary stacked along
+    axis 0).
     """
-    body = _make_frame_body(cfg, extract_fn)
+    body = _make_frame_body(cfg, extract_fn, with_bow=with_bow)
 
-    # NOTE: only the map is donated — TrackState fields routinely alias each
-    # other on the host side (T_cw is last_T right after init), and donating
-    # an aliased buffer twice is an error
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def chunk(m: ms.MapState, ts: TrackState, images, frame_ids, timestamps,
-              allow_kf=True):
-        return _chunk_body(body, extract_fn, m, ts, images, frame_ids,
-                           timestamps, K, allow_kf)
+    # NOTE: only the map (and BoW database) are donated — TrackState fields
+    # routinely alias each other on the host side (T_cw is last_T right
+    # after init), and donating an aliased buffer twice is an error
+    donate = (0, 2) if with_bow else (0,)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def chunk(m: ms.MapState, ts: TrackState, kf_bow, voc, images, frame_ids,
+              timestamps, allow_kf=True):
+        return _chunk_body(body, extract_fn, m, ts, kf_bow, voc, images,
+                           frame_ids, timestamps, K, allow_kf)
 
     return chunk
 
 
-def _chunk_body(body, extract_fn, m, ts, images, frame_ids, timestamps, K,
-                allow_kf):
+def _chunk_body(body, extract_fn, m, ts, kf_bow, voc, images, frame_ids,
+                timestamps, K, allow_kf):
     """Shared chunk logic: batched extraction + sequential tracking scan."""
     # extraction is per-frame INDEPENDENT: batch it across the chunk
     # (vmap → one [N,...] pyramid/FAST/descriptor program with N-fold
@@ -238,12 +296,13 @@ def _chunk_body(body, extract_fn, m, ts, images, frame_ids, timestamps, K,
     feats_all = jax.vmap(extract_fn)(images)
 
     def scan_body(carry, inp):
-        m, ts = carry
+        m, ts, kf_bow = carry
         feats, fid, t = inp
-        m, ts, summary = body(m, ts, feats, fid, t, K, allow_kf)
-        return (m, ts), summary
+        m, ts, kf_bow, summary = body(m, ts, kf_bow, voc, feats, fid, t, K,
+                                      allow_kf)
+        return (m, ts, kf_bow), summary
 
-    (m, ts), summaries = jax.lax.scan(
-        scan_body, (m, ts), (feats_all, frame_ids, timestamps)
+    (m, ts, kf_bow), summaries = jax.lax.scan(
+        scan_body, (m, ts, kf_bow), (feats_all, frame_ids, timestamps)
     )
-    return m, ts, summaries
+    return m, ts, kf_bow, summaries

@@ -249,7 +249,19 @@ def correct_loop(
     )(ref)
     lm_new = jax.vmap(geo.sim3_apply)(S_corr, m.lm_pos)
     lm_pos = jnp.where(m.lm_valid[:, None], lm_new, m.lm_pos)
-    return m._replace(kf_pose=kf_pose, lm_pos=lm_pos)
+    # viewing normals rotate and the scale-invariance distance band scales
+    # with the correction — leaving them stale makes the matcher's
+    # view-angle (cos>0.5) and distance-band gates reject the corrected
+    # landmarks wholesale (most visible after merges, where the relative
+    # Sim3 carries real scale; reference UpdateNormalAndDepth re-derives
+    # them, MapPoint.cc:330)
+    s_c, R_c, _ = geo.sim3_parts(S_corr)
+    n_new = jnp.einsum("lij,lj->li", R_c, m.lm_normal)
+    lm_normal = jnp.where(m.lm_valid[:, None], n_new, m.lm_normal)
+    lm_dmin = jnp.where(m.lm_valid, m.lm_dist_min * s_c, m.lm_dist_min)
+    lm_dmax = jnp.where(m.lm_valid, m.lm_dist_max * s_c, m.lm_dist_max)
+    return m._replace(kf_pose=kf_pose, lm_pos=lm_pos, lm_normal=lm_normal,
+                      lm_dist_min=lm_dmin, lm_dist_max=lm_dmax)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iters", "cg_iters"))

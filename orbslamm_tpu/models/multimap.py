@@ -149,6 +149,7 @@ class MultiMapper:
         name = name or f"robot{len(self.robots)}"
         t = RobotTracker(self.cfg, self.new_map(), name)
         t.on_keyframe = self._on_keyframe
+        t.auto_reset_young = False  # loss handling belongs to _handle_loss
         self.robots.append(t)
         return t
 
@@ -166,27 +167,43 @@ class MultiMapper:
         return rec
 
     def process_frames(self, robot_idx: int, images, timestamps):
-        """Chunked driver: OK-state runs go through the tracker's scan step
-        (one dispatch + one sync per chunk); init/loss frames fall back to
-        the per-frame path with the usual new-map-on-loss handling."""
+        """Pipelined chunked driver: chunk k+1 is dispatched before chunk
+        k's summaries are fetched (device never idles; keyframe events and
+        loss handling run one chunk late, the reference's async-thread
+        delay semantics). Init/loss frames fall back to the per-frame path
+        with the usual new-map-on-loss handling."""
         t = self.robots[robot_idx]
         tr = get_tracer()
         recs = []
+        pending = None
+
+        def finish(tok):
+            out = t._finish_chunk(tok)
+            if t.state == TrackingState.LOST and self.cfg.multi_mapping:
+                self._handle_loss(t, out[-1].timestamp if out else 0.0)
+            return out
+
         i, n = 0, len(timestamps)
         while i < n:
             cs = t.chunk_size
             if t.state == TrackingState.OK and t.use_fused and n - i >= cs:
                 with tr.span("track", robot=t.name, chunk=cs):
-                    recs.extend(
-                        t._process_chunk(images[i : i + cs], timestamps[i : i + cs])
-                    )
+                    tok = t._dispatch_chunk(images[i : i + cs],
+                                            timestamps[i : i + cs])
                 i += cs
-                if t.state == TrackingState.LOST and self.cfg.multi_mapping:
-                    self._handle_loss(t, float(timestamps[i - 1]))
+                if pending is not None:
+                    recs.extend(finish(pending))
+                pending = tok
             else:
+                if pending is not None:
+                    recs.extend(finish(pending))
+                    pending = None
+                    continue  # state may have changed — re-evaluate
                 recs.append(self.process_frame(robot_idx, images[i],
                                                float(timestamps[i])))
                 i += 1
+        if pending is not None:
+            recs.extend(finish(pending))
         return recs
 
     def _handle_loss(self, t: RobotTracker, timestamp: float):
@@ -250,7 +267,16 @@ class MultiMapper:
             if mcA.n_kf < cfg.loop.min_kfs_for_merge:
                 continue
             if mcA.n_kf + mcB.n_kf >= cfg.capacity.max_keyframes:
-                continue  # merged map would overflow the pool
+                # merged map would overflow the keyframe pool — at real
+                # dataset scale this silently losing merges is a
+                # configuration error worth surfacing
+                get_tracer().event(
+                    "merge_skipped_capacity", base=mcA.map_id,
+                    absorbed=mcB.map_id, n_kf_base=mcA.n_kf,
+                    n_kf_absorbed=mcB.n_kf,
+                    capacity=cfg.capacity.max_keyframes,
+                )
+                continue
             scores = np.asarray(
                 jnp.where(mcA.map.kf_valid, bow.bow_score(vB, mcA.kf_bow), -1.0)
             )

@@ -118,6 +118,9 @@ class MapContext:
         self.last_loop_kf = -(10**9)
         self.loops_closed: list = []
         self.merged_into: "MapContext | None" = None
+        # runtime toggle replacing the reference's LoopClosing thread
+        # enable/disable; also gates lazy vocabulary training
+        self.loop_closing_enabled = True
 
     def _alloc_bow(self):
         K_cap = self.map.kf_pose.shape[0]
@@ -199,7 +202,8 @@ class MapContext:
     def try_close_loop(self, slot: int, key, precomputed=None) -> bool:
         cfg = self.cfg
         if (
-            self.voc is None
+            not self.loop_closing_enabled
+            or self.voc is None
             or self.n_kf < cfg.loop.min_kfs_for_merge
             or slot - self.last_loop_kf < cfg.loop.kfs_between_loops
         ):
@@ -262,6 +266,11 @@ class RobotTracker:
         # keyframes; on loss, relocalize (reference
         # System::ActivateLocalizationMode, Tracking::mbOnlyTracking)
         self.localization_only = False
+        # early-loss reset (Tracking::Reset on loss with a young map,
+        # Tracking.cc:520-528): a marginal two-view init that cannot be
+        # tracked is thrown away and initialization restarts. MultiMapper
+        # disables this — it owns loss handling (new-map-on-loss).
+        self.auto_reset_young = True
         self.use_fused = True  # single-dispatch fused frame step (models/fused.py)
         # defer_sync pipelines the per-frame host sync one frame behind the
         # dispatch (streaming mode): hides the host<->device round trip at
@@ -272,11 +281,17 @@ class RobotTracker:
         self._ts = None  # device TrackState when the fused path is active
         # chunked streaming: N frames per dispatch, ONE host sync per chunk
         # (amortizes the host<->device round trip N-fold; see
-        # fused.make_chunk_step). Built lazily on first use.
+        # fused.make_chunk_step). Built lazily on first use; rebuilt once
+        # when the vocabulary appears (the with_bow program folds the BoW
+        # database update + loop-candidate scan into the chunk).
         self.chunk_size = 8
         self._chunk_step = None
+        self._chunk_bow = False
 
     def _reset_tracking(self):
+        # generation counter: any host-side reset/switch invalidates chunks
+        # dispatched earlier (see _finish_chunk's stale guard)
+        self._gen = getattr(self, "_gen", 0) + 1
         self._ref = None
         self._ref_meta = (0, 0.0)
         self.T_cw = jnp.eye(4)
@@ -295,6 +310,24 @@ class RobotTracker:
         self.state = TrackingState.NOT_INITIALIZED
         self._reset_tracking()
         self._ts = None
+
+    def _maybe_reset_young_map(self):
+        """Early-loss reset (Tracking.cc:520-528): discard a young map that
+        lost tracking right after initialization and re-initialize."""
+        if (
+            self.state == TrackingState.LOST
+            and self.auto_reset_young
+            and not self.localization_only
+            and self.mapctx.n_kf < self.cfg.tracking.min_kfs_for_new_map
+        ):
+            mc = self.mapctx
+            mc.map = ms.empty_map(self.cfg)
+            mc.n_kf = 0
+            if mc.kf_bow is not None:
+                mc.kf_bow = jnp.zeros_like(mc.kf_bow)
+            get_tracer().event("early_loss_reset", map_id=mc.map_id,
+                               robot=self.name)
+            self.switch_map(mc)
 
     def _sync_from_ts(self):
         """Copy the device TrackState back into the host-path fields before
@@ -469,6 +502,7 @@ class RobotTracker:
             n_inl = self._track(feats, timestamp)
             if n_inl < self.cfg.tracking.min_inliers_local_map:
                 self.state = TrackingState.LOST
+                self._maybe_reset_young_map()
         elif self.state == TrackingState.LOST and (
             not self.cfg.multi_mapping or self.localization_only
         ):
@@ -614,30 +648,58 @@ class RobotTracker:
 
     # -- chunked streaming path ---------------------------------------------
     def process_frames(self, images, timestamps) -> list[FrameRecord]:
-        """Process a batch of frames, using the chunked scan step (ONE device
-        dispatch + ONE host sync per ``chunk_size`` frames) whenever tracking
-        is in the OK state; initialization/loss frames fall back to the
-        per-frame path. ``images`` is a list of [H,W] arrays or an [N,H,W]
-        array."""
+        """Process a batch of frames through the PIPELINED chunk path.
+
+        While tracking is OK, chunk k+1 is dispatched BEFORE chunk k's
+        summaries are fetched: the device queue always holds work, so the
+        host→device round trip, the summary fetch, and all keyframe-rate
+        host work overlap with device compute (the reference gets the same
+        overlap from its free-running LocalMapping/LoopClosing threads).
+        Keyframe events are thus handled one chunk late — identical delay
+        semantics to the reference's keyframe queues. Initialization / loss
+        frames fall back to the per-frame path."""
         recs: list[FrameRecord] = []
+        pending = None
         i, n = 0, len(timestamps)
         while i < n:
             cs = self.chunk_size
             if self.state == TrackingState.OK and self.use_fused and n - i >= cs:
-                recs.extend(
-                    self._process_chunk(images[i : i + cs], timestamps[i : i + cs])
-                )
+                tok = self._dispatch_chunk(images[i : i + cs],
+                                           timestamps[i : i + cs])
                 i += cs
+                if pending is not None:
+                    recs.extend(self._finish_chunk(pending))
+                pending = tok
             else:
+                if pending is not None:
+                    recs.extend(self._finish_chunk(pending))
+                    pending = None
+                    continue  # state may have changed — re-evaluate
                 recs.append(self.process_frame(images[i], float(timestamps[i])))
                 i += 1
+        if pending is not None:
+            recs.extend(self._finish_chunk(pending))
         return recs
 
     def _process_chunk(self, images, timestamps) -> list[FrameRecord]:
+        """Unpipelined convenience: dispatch one chunk and handle it."""
+        return self._finish_chunk(self._dispatch_chunk(images, timestamps))
+
+    def _dispatch_chunk(self, images, timestamps) -> dict:
+        """Issue one chunk dispatch (no host sync). Returns a token for
+        ``_finish_chunk``. Lazily trains the vocabulary once enough
+        keyframes exist (the host knows n_kf one chunk late — harmless)."""
         mc = self.mapctx
+        if (mc.loop_closing_enabled and not self.localization_only
+                and mc.voc is None and mc.n_kf >= 4):
+            mc.ensure_vocabulary()
         cs = len(timestamps)
-        if self._chunk_step is None:
-            self._chunk_step = fused.make_chunk_step(self.cfg, self.extract, self.K)
+        want_bow = mc.voc is not None and mc.kf_bow is not None
+        if self._chunk_step is None or self._chunk_bow != want_bow:
+            self._chunk_step = fused.make_chunk_step(
+                self.cfg, self.extract, self.K, with_bow=want_bow
+            )
+            self._chunk_bow = want_bow
         if self._ts is None:
             self._ts = self._make_ts()
         if isinstance(images, (list, tuple)):
@@ -646,56 +708,97 @@ class RobotTracker:
             imgs = jnp.asarray(images)
         fids = jnp.arange(self.frame_id + 1, self.frame_id + 1 + cs, dtype=jnp.int32)
         stamps = jnp.asarray(np.asarray(timestamps, np.float32))
-        m, ts, summaries = self._chunk_step(
-            mc.map, self._ts, imgs, fids, stamps,
-            jnp.asarray(not self.localization_only),
+        kf_bow_in = mc.kf_bow if want_bow else jnp.zeros((), jnp.float32)
+        m, ts, kf_bow_out, summaries = self._chunk_step(
+            mc.map, self._ts, kf_bow_in, mc.voc if want_bow else None,
+            imgs, fids, stamps, jnp.asarray(not self.localization_only),
         )
         mc.map = m
         self._ts = ts
-        s = jax.device_get(summaries)  # the single host sync of the chunk
+        if want_bow:
+            mc.kf_bow = kf_bow_out
+        fid0 = self.frame_id + 1
+        self.frame_id += cs
+        return {
+            "mc": mc,
+            "summaries": summaries,
+            "timestamps": [float(t) for t in timestamps],
+            "fid0": fid0,
+            "want_bow": want_bow,
+            "gen": self._gen,
+        }
+
+    def _finish_chunk(self, token: dict) -> list[FrameRecord]:
+        """Fetch a dispatched chunk's summaries and run the keyframe-rate
+        host events (records, loop closing, merge scan)."""
+        mc: MapContext = token["mc"]
+        timestamps = token["timestamps"]
+        cs = len(timestamps)
+        s = jax.device_get(token["summaries"])  # the chunk's single host sync
+        # a chunk dispatched before a loss/merge/reset was handled is STALE:
+        # its frames ran with the latched `lost` flag (frozen state, no
+        # keyframes) — emit its records but leave the tracker's new state
+        # machine alone
+        stale = token["gen"] != self._gen or self.mapctx is not mc
 
         tr = get_tracer()
         recs: list[FrameRecord] = []
-        new_kfs: list[tuple[int, np.ndarray]] = []  # (slot, pose at insertion)
-        # pass 1: records + keyframe bookkeeping (BoW rows, counters) — the
-        # map must know ALL of the chunk's keyframes before loop closing /
-        # merging fire, exactly like the reference's KF queue draining ahead
-        # of LoopClosing/MultiMapper consumption
+        new_kfs: list[tuple[int, np.ndarray, int]] = []  # (slot, pose, j)
+        # pass 1: records + keyframe bookkeeping — the map must know ALL of
+        # the chunk's keyframes before loop closing / merging fire, exactly
+        # like the reference's KF queue draining ahead of
+        # LoopClosing/MultiMapper consumption
+        last_T = np.asarray(self.T_cw)
         for j in range(cs):
-            self.frame_id += 1
+            fid = token["fid0"] + j
             ok = bool(s.tracking_ok[j])
             n_inl = int(s.n_inliers[j]) if ok else 0
             if ok:
-                self.T_cw = np.asarray(s.T_cw[j])
+                last_T = np.asarray(s.T_cw[j])
+                if not stale:
+                    self.T_cw = last_T
                 if bool(s.new_kf[j]):
                     slot = int(s.kf_slot[j])
-                    mc.n_kf = slot + 1
+                    mc.n_kf = max(mc.n_kf, slot + 1)
                     tr.incr("keyframes_inserted")
                     tr.event("keyframe", map_id=mc.map_id, slot=slot,
-                             frame_id=self.frame_id, ts=float(timestamps[j]))
-                    new_kfs.append((slot, np.asarray(s.T_cw[j])))
-            else:
+                             frame_id=fid, ts=float(timestamps[j]))
+                    new_kfs.append((slot, np.asarray(s.T_cw[j]), j))
+            elif not stale:
                 self.state = TrackingState.LOST
             rec = FrameRecord(
-                frame_id=self.frame_id,
+                frame_id=fid,
                 timestamp=float(timestamps[j]),
-                T_cw=np.asarray(self.T_cw),
-                state=self.state.name,
+                T_cw=last_T,
+                state=("OK" if ok else "LOST") if stale else self.state.name,
                 n_inliers=n_inl,
-                map_id=self.mapctx.map_id,
+                map_id=mc.map_id,
             )
             self.frames.append(rec)
             recs.append(rec)
-        # all of the chunk's new BoW database rows in ONE dispatch, then all
-        # of its loop-candidate scores in one more (1 fetch total)
-        mc.update_bow_rows([slot for slot, _ in new_kfs])
-        loop_pre = mc.loop_scan([slot for slot, _ in new_kfs])
+        if stale:
+            # no keyframe-rate events on a superseded map/state
+            return recs
+        self._maybe_reset_young_map()
+        if token["want_bow"]:
+            # BoW rows + candidate scores were computed INSIDE the chunk
+            loop_pre = {
+                slot: (np.asarray(s.loop_scores[j]), float(s.loop_min_score[j]))
+                for slot, _, j in new_kfs
+            }
+        else:
+            # vocabulary appeared after this dispatch (or is still absent):
+            # host fallback, one dispatch for rows + one scan fetch
+            mc.update_bow_rows([slot for slot, _, _ in new_kfs])
+            loop_pre = mc.loop_scan([slot for slot, _, _ in new_kfs])
         # pass 2: keyframe-rate events (loop closing, cross-map merging)
         loop_rebase = None
-        for slot, T_at_insert in new_kfs:
+        for slot, T_at_insert, _j in new_kfs:
             self._key, sub = jax.random.split(self._key)
+            pose_before = mc.map.kf_pose[slot]  # lazy device ref, pre-correction
             if mc.try_close_loop(slot, sub, precomputed=loop_pre.get(slot)):
-                loop_rebase = (T_at_insert, np.asarray(mc.map.kf_pose[slot]))
+                loop_rebase = (np.asarray(pose_before),
+                               np.asarray(mc.map.kf_pose[slot]))
             if self.on_keyframe is not None:
                 self.on_keyframe(self, slot)
                 if self.mapctx is not mc:
@@ -719,6 +822,10 @@ class RobotTracker:
 
     # -- public API --------------------------------------------------------
     def process_frame(self, image: np.ndarray, timestamp: float) -> FrameRecord:
+        mc = self.mapctx
+        if (mc.loop_closing_enabled and not self.localization_only
+                and mc.voc is None and mc.n_kf >= 4):
+            mc.ensure_vocabulary()
         self.frame_id += 1
         img = jnp.asarray(image)
         n_inl = 0
@@ -737,11 +844,13 @@ class RobotTracker:
             n_inl = self._track_fused(img, timestamp)
             if n_inl < self.cfg.tracking.min_inliers_local_map:
                 self.state = TrackingState.LOST
+                self._maybe_reset_young_map()
         elif self.state == TrackingState.OK:
             feats = self.extract(img)
             n_inl = self._track(feats, timestamp)
             if n_inl < self.cfg.tracking.min_inliers_local_map:
                 self.state = TrackingState.LOST
+                self._maybe_reset_young_map()
         elif self.state == TrackingState.LOST and (
             not self.cfg.multi_mapping or self.localization_only
         ):
@@ -773,7 +882,16 @@ class MonocularSession:
     def __post_init__(self):
         self.mapctx = MapContext(self.cfg)
         self.tracker = RobotTracker(self.cfg, self.mapctx, self.name)
-        self.enable_loop_closing = True
+
+    @property
+    def enable_loop_closing(self) -> bool:
+        return self.tracker.mapctx.loop_closing_enabled
+
+    @enable_loop_closing.setter
+    def enable_loop_closing(self, on: bool):
+        # a runtime toggle, not a monkeypatch: try_close_loop checks the
+        # flag, and lazy vocabulary training is gated on it too
+        self.tracker.mapctx.loop_closing_enabled = bool(on)
 
     # -- passthroughs ------------------------------------------------------
     @property
@@ -811,35 +929,11 @@ class MonocularSession:
         self.tracker.localization_only = False
 
     def process_frame(self, image, timestamp):
-        mc = self.tracker.mapctx
-        if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
-            mc.ensure_vocabulary()
-        if not self.enable_loop_closing:
-            mc.try_close_loop = lambda slot, key, precomputed=None: False
         return self.tracker.process_frame(image, timestamp)
 
     def process_frames(self, images, timestamps):
-        """Chunked streaming: N-frame scan dispatches while tracking is OK
-        (see RobotTracker.process_frames)."""
-        recs = []
-        i, n = 0, len(timestamps)
-        while i < n:
-            mc = self.tracker.mapctx
-            if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
-                mc.ensure_vocabulary()
-            if not self.enable_loop_closing:
-                mc.try_close_loop = lambda slot, key, precomputed=None: False
-            cs = self.tracker.chunk_size
-            if (self.tracker.state == TrackingState.OK and self.tracker.use_fused
-                    and n - i >= cs):
-                recs.extend(self.tracker._process_chunk(
-                    images[i : i + cs], timestamps[i : i + cs]))
-                i += cs
-            else:
-                recs.append(self.tracker.process_frame(images[i],
-                                                       float(timestamps[i])))
-                i += 1
-        return recs
+        """Pipelined chunked streaming (see RobotTracker.process_frames)."""
+        return self.tracker.process_frames(images, timestamps)
 
     def keyframe_trajectory(self):
         m = self.map
@@ -877,11 +971,6 @@ class StereoSession(MonocularSession):
         super().__post_init__()
 
     def process_frame(self, image_left, image_right, timestamp):
-        mc = self.tracker.mapctx
-        if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
-            mc.ensure_vocabulary()
-        if not self.enable_loop_closing:
-            mc.try_close_loop = lambda slot, key, precomputed=None: False
         return self.tracker.process_frame_stereo(image_left, image_right, timestamp)
 
 
@@ -897,9 +986,4 @@ class RGBDSession(MonocularSession):
         super().__post_init__()
 
     def process_frame(self, image, depth_image, timestamp):
-        mc = self.tracker.mapctx
-        if self.enable_loop_closing and mc.n_kf >= 4 and mc.voc is None:
-            mc.ensure_vocabulary()
-        if not self.enable_loop_closing:
-            mc.try_close_loop = lambda slot, key, precomputed=None: False
         return self.tracker.process_frame_rgbd(image, depth_image, timestamp)

@@ -15,10 +15,14 @@ Replaces the reference's ORBextractor (ORBextractor.cc:1043 operator(),
     cell by response, and selection order is (cell_rank asc, response desc).
     Same behavioral contract — ≤N well-spread corners, best-per-region
     first, weak regions still represented.
-  * Orientation (intensity centroid, 31×31 circular mask) and the 256-bit
-    rotated binary descriptor are computed from per-keypoint gathered
-    patches; the descriptor test pattern is this framework's own fixed
-    pseudo-random BRIEF pattern (NOT copied from OpenCV's learned table).
+  * Orientation (intensity centroid, 31×31 circular mask) comes from
+    full-image prefix-sum moment maps + per-keypoint point gathers, and the
+    256-bit rotated binary descriptor samples a 128-point pool directly
+    from the blurred level image — no per-keypoint patch gathers anywhere
+    (random-access gathers are TPU's slowest primitive; see
+    orientation_maps/_descriptors_at). The descriptor test pattern is this
+    framework's own fixed pseudo-random BRIEF pattern (NOT copied from
+    OpenCV's learned table).
   * All shapes are static per (OrbConfig, image size): per-level keypoint
     budgets are the reference's geometric distribution, invalid slots are
     masked.
@@ -74,22 +78,47 @@ class Features(NamedTuple):
 # ---------------------------------------------------------------------------
 # Descriptor test pattern (own fixed pseudo-random BRIEF pattern)
 # ---------------------------------------------------------------------------
+#
+# TPU-native design: the 256 binary tests draw from a SHARED pool of
+# N_SAMPLE_POINTS sample positions instead of 512 independent endpoints.
+# Per-keypoint image sampling is a random-access gather — the dominant cost
+# of descriptor extraction on TPU — so quartering the gathered points
+# (512 → 128) quarters the hot loop while the 256 pairwise tests keep full
+# descriptor entropy (classic BRIEF variants pair from a point pool the
+# same way).
+
+N_SAMPLE_POINTS = 128
+
 
 @functools.lru_cache(maxsize=1)
-def descriptor_pattern() -> np.ndarray:
-    """[256, 4] int32 (x1, y1, x2, y2), coordinates in [-13, 13]."""
+def pattern_points() -> np.ndarray:
+    """[N_SAMPLE_POINTS, 2] int32 sample offsets in [-13, 13]."""
     rng = np.random.default_rng(20240817)
-    pts = rng.normal(0.0, 6.2, size=(256, 4))
+    pts = rng.normal(0.0, 6.2, size=(N_SAMPLE_POINTS, 2))
     return np.clip(np.round(pts), -13, 13).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=1)
-def ic_mask() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Circular mask and coordinate grids for the intensity centroid."""
+def pattern_tests() -> np.ndarray:
+    """[256, 2] int32 — (i, j) indices into pattern_points per bit."""
+    rng = np.random.default_rng(20240818)
+    a = rng.integers(0, N_SAMPLE_POINTS, size=256)
+    b = rng.integers(0, N_SAMPLE_POINTS, size=256)
+    clash = (a == b) | (
+        np.all(pattern_points()[a] == pattern_points()[b], axis=-1)
+    )
+    b = np.where(clash, (b + 17) % N_SAMPLE_POINTS, b)
+    return np.stack([a, b], axis=-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def ic_row_halfwidths() -> np.ndarray:
+    """[2*IC_R+1] int32 — half-width of the circular intensity-centroid mask
+    at each dy row (|dx| <= floor(sqrt(IC_R^2 - dy^2)))."""
     r = np.arange(-IC_R, IC_R + 1)
-    dx, dy = np.meshgrid(r, r)
-    mask = (dx * dx + dy * dy <= IC_R * IC_R).astype(np.float32)
-    return mask, dx.astype(np.float32), dy.astype(np.float32)
+    return np.floor(np.sqrt(np.maximum(IC_R * IC_R - r * r, 0) + 1e-9)).astype(
+        np.int32
+    )
 
 
 def level_feature_counts(n_features: int, n_levels: int, scale: float) -> list[int]:
@@ -197,46 +226,74 @@ def select_level_keypoints(
     return xy, jnp.where(valid, resp, 0.0), valid
 
 
-def _gather_patches(stack: jax.Array, xy: jax.Array) -> jax.Array:
-    """stack [C, H, W], xy [K, 2] int32 -> [K, C, PATCH, PATCH]."""
+def orientation_maps(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Full-image intensity-centroid moment maps (m10, m01), each [H, W].
 
-    def one(c):
-        return jax.lax.dynamic_slice(
-            stack,
-            (0, c[1] - PATCH_R, c[0] - PATCH_R),
-            (stack.shape[0], PATCH, PATCH),
-        )
+    Patch-free reformulation of IC_Angle (ORBextractor.cc:77): the circular
+    mask decomposes into per-row segments, so both moments are sums of
+    x-prefix-sum differences — ~4 cumsums + 62 shifted adds of image-sized
+    arrays, instead of a [K, 31, 31] per-keypoint patch gather (random-
+    access gathers are the slowest primitive on TPU; full-image passes
+    stream at HBM bandwidth). Exact same values as the masked-patch sum.
+    """
+    H, W = img.shape
+    pad = IC_R + 1
+    ip = jnp.pad(img, ((pad, pad), (pad, pad)))
+    S = jnp.cumsum(ip, axis=1)  # prefix over x
+    xcoord = jnp.arange(ip.shape[1], dtype=img.dtype)[None, :]
+    T = jnp.cumsum(ip * xcoord, axis=1)  # prefix of x'*I
+    m10 = jnp.zeros((H, W), img.dtype)
+    m01 = jnp.zeros((H, W), img.dtype)
+    x0 = jnp.arange(W, dtype=img.dtype)[None, :] + pad
+    halfw = ic_row_halfwidths()
+    for k, dy in enumerate(range(-IC_R, IC_R + 1)):
+        w = int(halfw[k])
+        rowS = S[pad + dy : pad + dy + H]
+        rowT = T[pad + dy : pad + dy + H]
+        # segment sum over x' in [x-w, x+w]: S[x+w] - S[x-w-1]
+        hi = slice(pad + w, pad + w + W)
+        lo = slice(pad - w - 1, pad - w - 1 + W)
+        rowsum = rowS[:, hi] - rowS[:, lo]
+        tsum = rowT[:, hi] - rowT[:, lo]
+        m10 = m10 + (tsum - x0 * rowsum)  # sum of dx * I over the segment
+        m01 = m01 + float(dy) * rowsum
+    return m10, m01
 
-    return jax.vmap(one)(xy)
+
+def _orientation_at(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """[H,W] raw level image + [K,2] int32 keypoints -> [K] IC angles."""
+    m10, m01 = orientation_maps(img)
+    W = img.shape[1]
+    idx = xy[:, 1] * W + xy[:, 0]
+    g10 = jnp.take(m10.reshape(-1), idx)
+    g01 = jnp.take(m01.reshape(-1), idx)
+    return jnp.arctan2(g01, g10)
 
 
-def _orientation(raw_patches: jax.Array) -> jax.Array:
-    """Intensity-centroid angle from raw patches [K, PATCH, PATCH]."""
-    mask, dx, dy = ic_mask()
-    c0 = PATCH_R - IC_R
-    sub = raw_patches[:, c0 : c0 + 2 * IC_R + 1, c0 : c0 + 2 * IC_R + 1]
-    m = jnp.asarray(mask)
-    m10 = jnp.sum(sub * (jnp.asarray(dx) * m), axis=(-2, -1))
-    m01 = jnp.sum(sub * (jnp.asarray(dy) * m), axis=(-2, -1))
-    return jnp.arctan2(m01, m10)
-
-
-def _descriptors(blur_patches: jax.Array, angle: jax.Array) -> jax.Array:
-    """Rotated binary test descriptor. blur_patches [K, PATCH, PATCH]."""
-    pat = jnp.asarray(descriptor_pattern())  # [256,4]
+def _descriptors_at(blur: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
+    """Rotated binary test descriptor, sampled straight from the blurred
+    level image (no patch materialization): gather the N_SAMPLE_POINTS
+    rotated pool positions per keypoint, then evaluate the 256 static test
+    pairs. blur [H,W], xy [K,2] int32, angle [K] -> [K,32] uint8."""
+    H, W = blur.shape
+    pts = jnp.asarray(pattern_points())  # [P,2]
+    tests = pattern_tests()  # np [256,2] static
     c = jnp.cos(angle)[:, None]
     s = jnp.sin(angle)[:, None]
-    x1, y1, x2, y2 = (pat[:, 0][None], pat[:, 1][None], pat[:, 2][None], pat[:, 3][None])
-    rx1 = jnp.round(c * x1 - s * y1).astype(jnp.int32) + PATCH_R
-    ry1 = jnp.round(s * x1 + c * y1).astype(jnp.int32) + PATCH_R
-    rx2 = jnp.round(c * x2 - s * y2).astype(jnp.int32) + PATCH_R
-    ry2 = jnp.round(s * x2 + c * y2).astype(jnp.int32) + PATCH_R
-    flat = blur_patches.reshape(blur_patches.shape[0], -1)  # [K, PATCH*PATCH]
-    v1 = jnp.take_along_axis(flat, ry1 * PATCH + rx1, axis=1)
-    v2 = jnp.take_along_axis(flat, ry2 * PATCH + rx2, axis=1)
-    bits = (v1 < v2).astype(jnp.uint8).reshape(-1, 32, 8)
+    px = pts[:, 0][None]
+    py = pts[:, 1][None]
+    rx = jnp.round(c * px - s * py).astype(jnp.int32) + xy[:, 0:1]
+    ry = jnp.round(s * px + c * py).astype(jnp.int32) + xy[:, 1:2]
+    rx = jnp.clip(rx, 0, W - 1)
+    ry = jnp.clip(ry, 0, H - 1)
+    v = jnp.take(blur.reshape(-1), (ry * W + rx).reshape(-1)).reshape(
+        xy.shape[0], -1
+    )  # [K, P]
+    bits = (v[:, tests[:, 0]] < v[:, tests[:, 1]]).astype(jnp.uint8)
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
-    return jnp.sum(bits * weights[None, None, :], axis=-1).astype(jnp.uint8)
+    return jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
+    ).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -298,10 +355,8 @@ def make_extractor(orb: OrbConfig, cam: CameraConfig, n_features: int | None = N
                 score, n_l, float(orb.min_th_fast), orb.cell_size
             )
             blur = gaussian_blur7(img)
-            stack = jnp.stack([img, blur], axis=0)
-            patches = _gather_patches(stack, xy)  # [n_l, 2, P, P]
-            ang = _orientation(patches[:, 0])
-            desc = _descriptors(patches[:, 1], ang)
+            ang = _orientation_at(img, xy)
+            desc = _descriptors_at(blur, xy, ang)
             scale = orb.scale_factor**l
             xs.append(xy.astype(jnp.float32) * scale)
             resps.append(resp)

@@ -44,10 +44,11 @@ def make_multistream_chunk_step(cfg: SlamConfig, extract_fn):
     body = fused._make_frame_body(cfg, extract_fn)
 
     def one_robot(m, ts, K, images, frame_ids, timestamps, allow_kf):
-        return fused._chunk_body(
-            body, extract_fn, m, ts, images, frame_ids, timestamps, K,
-            allow_kf,
+        m, ts, _, summaries = fused._chunk_body(
+            body, extract_fn, m, ts, jnp.zeros((), jnp.float32), None,
+            images, frame_ids, timestamps, K, allow_kf,
         )
+        return m, ts, summaries
 
     return functools.partial(jax.jit, donate_argnums=(0, 1))(
         jax.vmap(one_robot)
@@ -94,7 +95,19 @@ class StreamBank:
     event), then ``bank = StreamBank(cfg, trackers, mesh=...)`` and call
     ``bank.process_chunk(images[R,C], stamps[R,C])`` repeatedly.
     ``bank.sync_to_trackers()`` writes device state back into the trackers
-    for trajectory export / merging."""
+    for trajectory export / merging.
+
+    Cross-robot merges (the KITTI 00+07 production configuration,
+    MultiMapper.cc:451-665): when two in-bank robots end up on ONE merged
+    MapContext, the bank switches to an OWNER + FOLLOWER model — the robot
+    whose map absorbed the other keeps the authoritative map in its slice;
+    the follower tracks (and keeps inserting keyframes) in a chunk-epoch
+    COPY, and at every chunk boundary its new keyframes are REPLAYED into
+    the authoritative map through the host insert pipeline, after which
+    both slices are refreshed from the authoritative state. Both robots
+    therefore keep tracking AND contributing keyframes to the one shared
+    map, with reconciliation at chunk granularity (the same delay the
+    reference's keyframe queues introduce)."""
 
     def __init__(self, cfg: SlamConfig, trackers, mesh=None, chunk_size: int = 8):
         self.cfg = cfg
@@ -119,6 +132,14 @@ class StreamBank:
         # trackers' host-side map references go stale while the bank runs;
         # mark them so accidental per-frame stepping is caught
         self._dirty = [False] * len(self.trackers)
+        # follower slot -> owner slot for robots sharing a merged MapContext
+        self.followers: dict[int, int] = {}
+        # owner slot -> lm_valid snapshot at the last shared refresh
+        self._shared_lm_valid: dict[int, jax.Array] = {}
+        # follower slot -> authoritative n_kf at its last refresh: only
+        # copy slots AT or ABOVE this replay (earlier slots are either the
+        # merge transplant itself or already-replayed keyframes)
+        self._follower_base_nkf: dict[int, int] = {}
 
     @property
     def n_streams(self) -> int:
@@ -149,6 +170,8 @@ class StreamBank:
             s = jax.device_get(summaries)  # ONE host sync for all streams
 
         all_recs = []
+        kfs_per_robot: list[list[int]] = []
+        any_kfs = False
         for r, t in enumerate(self.trackers):
             mc = t.mapctx
             recs = []
@@ -161,7 +184,8 @@ class StreamBank:
                     t.T_cw = np.asarray(s.T_cw[r, j])
                     if bool(s.new_kf[r, j]):
                         slot = int(s.kf_slot[r, j])
-                        mc.n_kf = slot + 1
+                        if r not in self.followers:
+                            mc.n_kf = max(mc.n_kf, slot + 1)
                         new_kfs.append(slot)
                         tr.incr("keyframes_inserted")
                 else:
@@ -177,9 +201,29 @@ class StreamBank:
                 t.frames.append(rec)
                 recs.append(rec)
             self._dirty[r] = self._dirty[r] or bool(new_kfs)
+            kfs_per_robot.append(new_kfs)
+            any_kfs = any_kfs or bool(new_kfs)
+            all_recs.append(recs)
+
+        if any_kfs:
+            # refresh EVERY robot's MapContext from its bank slice before any
+            # keyframe-rate event runs: a cross-robot merge scan reads OTHER
+            # robots' maps, which must not be a chunk stale. Followers are
+            # skipped — their mapctx IS the shared context, whose
+            # authoritative array is the OWNER's slice
+            for r in range(R):
+                if self._dirty[r] and r not in self.followers:
+                    self._sync_tracker(r)
+
+        for r, t in enumerate(self.trackers):
+            new_kfs = kfs_per_robot[r]
+            if not new_kfs:
+                continue
+            if r in self.followers:
+                continue  # reconciled below; owner's context runs loop events
+            mc = t.mapctx
             # keyframe-rate host events on this robot's slice
-            if new_kfs and (mc.voc is not None or t.on_keyframe is not None):
-                self._sync_tracker(r)
+            if mc.voc is not None or t.on_keyframe is not None:
                 mc.update_bow_rows(new_kfs)
                 pre = mc.loop_scan(new_kfs)
                 changed = False
@@ -199,15 +243,136 @@ class StreamBank:
                         if t.mapctx is not mc:
                             changed = True  # merged into another map
                             break
-                if changed:
+                if changed and t.mapctx is not mc:
+                    self._adopt_merge(r)
+                elif changed and r in [ow for ow in self.followers.values()]:
+                    # a loop correction moved the shared map: propagate the
+                    # corrected authoritative state to every follower slice
+                    self._refresh_shared(r)
+                elif changed:
                     # write the corrected map back into the stacked state
                     self.m_all = tree_set(self.m_all, r, t.mapctx.map)
                     self.ts_all = tree_set(
                         self.ts_all, r,
                         t._make_ts() if t._ts is None else t._ts,
                     )
-            all_recs.append(recs)
+        # chunk-epoch reconciliation of established followers
+        for r, o in list(self.followers.items()):
+            slots = [s_ for s_ in kfs_per_robot[r]
+                     if s_ >= self._follower_base_nkf.get(r, 0)]
+            if slots:
+                self._replay_follower_kfs(r, o, slots)
+                self._refresh_shared(o)
         return all_recs
+
+    # -- cross-robot merge support ----------------------------------------
+    def _adopt_merge(self, r: int):
+        """Robot ``r`` was merged into another MapContext mid-chunk. If the
+        absorbing context belongs to another bank robot, establish the
+        owner/follower pairing and refresh both slices from the merged map;
+        otherwise just rebase robot ``r``'s slice."""
+        t = self.trackers[r]
+        owner = None
+        for o, to in enumerate(self.trackers):
+            if o != r and to.mapctx is t.mapctx:
+                owner = self.followers.get(o, o)  # resolve chains
+                break
+        if t._ts is None:
+            t._ts = t._make_ts()
+        if owner is None:
+            self.m_all = tree_set(self.m_all, r, t.mapctx.map)
+            self.ts_all = tree_set(self.ts_all, r, t._ts)
+            return
+        self.followers[r] = owner
+        get_tracer().event("bank_follower", follower=r, owner=owner,
+                           map_id=t.mapctx.map_id)
+        self._refresh_shared(owner, fresh={r})
+
+    def _refresh_shared(self, o: int, fresh: set[int] = frozenset()):
+        """Write the authoritative merged map into the owner's and every
+        follower's slice; rebuild their TrackStates against it.
+
+        Members not in ``fresh`` take their TrackState from the bank (the
+        freshest device copy); ``fresh`` members keep their just-rebuilt
+        host state (a newly adopted follower's Sim3-rebased pose)."""
+        mc = self.trackers[o].mapctx
+        ind = ms.lm_indicator(mc.map)
+        members = [o] + [r for r, ow in self.followers.items() if ow == o]
+        base_valid = self._shared_lm_valid.get(o)
+        for r in members:
+            t = self.trackers[r]
+            if r not in fresh:
+                t._ts = tree_slice(self.ts_all, r)
+            if t._ts is None:
+                t._ts = t._make_ts()
+            last_lm = t._ts.last_lm
+            prev_inl = t._ts.prev_inliers
+            if r != o and r not in fresh and base_valid is not None:
+                # landmark ids a follower created in its chunk-epoch copy
+                # mean something else in the authoritative pool (both copies
+                # allocate from the same free slots) — keep only
+                # associations to landmarks that existed at the last refresh
+                safe = jnp.maximum(last_lm, 0)
+                keep = (last_lm >= 0) & base_valid[safe] & mc.map.lm_valid[safe]
+                last_lm = jnp.where(keep, last_lm, -1)
+            if r != o:
+                # disarm the sudden-collapse gate for the first post-refresh
+                # frame: re-locking in the shared map legitimately starts
+                # with fewer inliers than the pre-merge streak
+                prev_inl = jnp.zeros_like(prev_inl)
+            t._ts = t._ts._replace(
+                n_kf=jnp.int32(mc.n_kf),
+                obs_ind=ind,
+                last_lm=last_lm,
+                prev_inliers=prev_inl,
+            )
+            t.mapctx = mc
+            self.m_all = tree_set(self.m_all, r, mc.map)
+            self.ts_all = tree_set(self.ts_all, r, t._ts)
+            self._dirty[r] = False
+        # snapshot of the authoritative pool's occupancy for the next
+        # reconciliation's association filter, and the keyframe high-water
+        # mark below which follower copy slots must never be replayed
+        self._shared_lm_valid[o] = mc.map.lm_valid
+        for r in members:
+            if r != o:
+                self._follower_base_nkf[r] = mc.n_kf
+
+    def _replay_follower_kfs(self, r: int, o: int, slots: list[int]):
+        """Replay keyframes a follower inserted into its chunk-epoch copy
+        into the authoritative map (host insert pipeline), preserving only
+        associations to landmarks that exist in the authoritative pool."""
+        from orbslamm_tpu.ops.orb import Features
+
+        mB = tree_slice(self.m_all, r)  # follower's evolved copy
+        mc = self.trackers[o].mapctx
+        tr = get_tracer()
+        for s_ in slots:
+            if mc.n_kf >= self.cfg.capacity.max_keyframes - 1:
+                tr.event("bank_replay_skipped_capacity", follower=r,
+                         slot=int(s_), n_kf=mc.n_kf)
+                break
+            sl = jnp.int32(s_)
+            feats = Features(
+                xy=mB.kf_xy[sl],
+                xy_raw=mB.kf_xy[sl],
+                angle=mB.kf_angle[sl],
+                response=jnp.where(mB.kf_feat_valid[sl], 50.0, 0.0),
+                level=mB.kf_level[sl],
+                desc=mB.kf_desc[sl],
+                valid=mB.kf_feat_valid[sl],
+                u_right=mB.kf_ur[sl],
+            )
+            obs = mB.kf_obs_lm[sl]
+            keep = (obs >= 0) & mc.map.lm_valid[jnp.maximum(obs, 0)]
+            obs_clean = jnp.where(keep, obs, -1)
+            new_slot = mc.insert_keyframe(
+                mB.kf_pose[sl], mB.kf_K[sl], feats, obs_clean,
+                mB.kf_frame_id[sl], mB.kf_timestamp[sl],
+            )
+            mc.update_bow_row(new_slot)
+            tr.event("bank_replay_kf", follower=r, owner=o,
+                     src_slot=int(s_), dst_slot=new_slot)
 
     def reset_stream(self, r: int):
         """Adopt tracker ``r``'s CURRENT host state into the bank — call
@@ -221,9 +386,14 @@ class StreamBank:
         self._dirty[r] = False
 
     def _sync_tracker(self, r: int):
-        """Materialize robot ``r``'s map slice into its MapContext."""
+        """Materialize robot ``r``'s map slice into its MapContext.
+
+        A follower's chunk-epoch COPY must never overwrite the shared
+        context's authoritative array (the owner's slice) — only its
+        tracking state is synced."""
         t = self.trackers[r]
-        t.mapctx.map = tree_slice(self.m_all, r)
+        if r not in self.followers:
+            t.mapctx.map = tree_slice(self.m_all, r)
         t._ts = tree_slice(self.ts_all, r)
         self._dirty[r] = False
 

@@ -64,15 +64,16 @@ timeit("extract x1", lambda: extract(images[0]))
 
 # 3. full chunk step (no donation so we can rerun)
 body = fused._make_frame_body(cfg, extract)
+dummy_bow = jnp.zeros((), jnp.float32)
 chunk_nodonate = jax.jit(
     lambda m_, ts_, im, fi, t: fused._chunk_body(
-        body, extract, m_, ts_, im, fi, t, K, True))
+        body, extract, m_, ts_, dummy_bow, None, im, fi, t, K, True))
 timeit("full chunk x8", lambda: chunk_nodonate(m, ts, images, fids, tss), n=5)
 
 # 4. chunk with keyframes disabled (tracking only) — jit hoisted out of the
 # timed closure so iterations reuse ONE compiled program
 chunk_nokf = jax.jit(lambda m_, ts_, im, fi, t: fused._chunk_body(
-    body, extract, m_, ts_, im, fi, t, K, False))
+    body, extract, m_, ts_, dummy_bow, None, im, fi, t, K, False))
 timeit("chunk x8 allow_kf=False",
        lambda: chunk_nokf(m, ts, images, fids, tss), n=5)
 

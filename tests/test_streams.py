@@ -111,3 +111,78 @@ def test_stream_state_is_sharded():
     assert sh.is_fully_replicated is False
     # two shards, one robot each
     assert len(sh.device_set) == 2
+
+
+@pytest.mark.slow
+def test_bank_cross_robot_merge_owner_follower():
+    """Two bank robots traverse overlapping halves of ONE scene (the
+    mono_kitti_dif-Seq / mono_tum split-sequence pattern): their separate
+    maps must MERGE mid-run, after which both robots keep tracking in the
+    shared map — the absorbed robot as a follower whose keyframes are
+    replayed into the authoritative map at chunk boundaries."""
+    from orbslamm_tpu.models.multimap import MultiMapper
+
+    n_total = 104
+    seq = make_sequence(n_frames=n_total, n_points=1400, cam=CAM, seed=21,
+                        motion="strafe")
+    half = 64
+    starts = [0, n_total - half]  # overlap = 2*half - n_total = 24 frames
+    mm = MultiMapper(CFG)
+    robots = [mm.add_robot(f"r{k}") for k in range(2)]
+
+    # bootstrap each robot on its own slice via the per-frame path
+    offs = []
+    for k, t in enumerate(robots):
+        i = 0
+        while t.state != TrackingState.OK and i < half:
+            mm.process_frame(k, seq.images[starts[k] + i],
+                             float(seq.timestamps[starts[k] + i]))
+            i += 1
+        assert t.state == TrackingState.OK, f"robot {k} failed to initialize"
+        offs.append(i)
+    start = max(offs)
+    for k, t in enumerate(robots):
+        for j in range(offs[k], start):
+            mm.process_frame(k, seq.images[starts[k] + j],
+                             float(seq.timestamps[starts[k] + j]))
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("r",))
+    bank = ps.StreamBank(CFG, robots, mesh=mesh, chunk_size=CHUNK)
+    i = start
+    while i + CHUNK <= half:
+        imgs = np.stack([
+            np.stack(seq.images[starts[k] + i : starts[k] + i + CHUNK])
+            for k in range(2)
+        ])
+        stamps = np.stack([
+            seq.timestamps[starts[k] + i : starts[k] + i + CHUNK]
+            for k in range(2)
+        ])
+        bank.process_chunk(imgs, stamps)
+        i += CHUNK
+    bank.sync_to_trackers()
+
+    # the two maps merged and the bank survived it
+    assert mm.merges, "no cross-map merge happened in the bank"
+    assert bank.followers, "merge did not establish an owner/follower pair"
+    assert robots[0].mapctx is robots[1].mapctx, "robots not on one shared map"
+    for t in robots:
+        assert t.state == TrackingState.OK, f"{t.name} lost tracking post-merge"
+    # both robots kept contributing: frames tracked to the end on both
+    for k, t in enumerate(robots):
+        ok = [f for f in t.frames if f.state == "OK"]
+        assert len(ok) > half - 14, f"{t.name}: only {len(ok)} OK frames"
+    # follower keyframes were replayed into the shared map
+    from orbslamm_tpu.utils.trace import get_tracer
+
+    assert get_tracer().events("bank_replay_kf"), (
+        "no follower keyframes were replayed into the shared map"
+    )
+    # merged-map trajectory accuracy: all OK frames of both robots vs GT
+    for k, t in enumerate(robots):
+        ok = [f for f in t.frames if f.state == "OK"
+              and f.map_id == robots[0].mapctx.map_id]
+        est = np.stack([f.T_cw for f in ok])
+        idx = [int(round(f.timestamp * CAM.fps)) for f in ok]
+        ate = ate_from_poses(est, seq.poses_cw[idx])
+        assert ate < 0.6, f"{t.name} merged-map ATE {ate:.3f}"
