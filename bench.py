@@ -1,16 +1,30 @@
-"""Benchmark: per-frame tracking throughput of the full SLAM session.
+"""Benchmark: the BASELINE metrics on one JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference targets real-time 30 fps/stream on TUM-class input
-(BASELINE.md) on a desktop CPU; vs_baseline = fps / 30.
+Prints ONE JSON line:
+  {"metric": "tracking_fps", "value": <single-stream fps>, "unit": "frames/s",
+   "vs_baseline": <fps/30>, "single_ate_rmse_m": ...,
+   "multi": {"fps_per_stream": ..., "n_streams": 2, "merged": bool,
+             "merged_ate_rmse_m": ...}}
 
-Runs a TUM-like configuration (640x480, 1000 ORB features, 8 pyramid
-levels) on a rendered synthetic sequence through the CHUNKED streaming
-path (models/fused.make_chunk_step): N frames per device dispatch, one
-host sync per chunk — the deployment configuration for remote-attached
-TPUs where every host sync costs a network round trip. Warmup
-(jit compilation, two-view initialization) is excluded; steady-state
-throughput over the tracked frames is reported.
+Baseline (BASELINE.md): the reference targets real-time 30 fps/stream on
+TUM-class input, and its flagship demo is a TWO-ROBOT run over overlapping
+sequences whose maps merge into one
+(mono_kitti_dif-Seq.cc:46-125, README.md:7). vs_baseline = single fps / 30.
+
+Phase 1 — single stream: TUM-like configuration (640x480, 1000 ORB
+features, 8 pyramid levels) on a rendered synthetic sequence through the
+PIPELINED chunk path (models/fused + models/system.process_frames): chunk
+k+1 dispatched before chunk k's summaries are fetched. Warmup (jit
+compilation, two-view initialization) is excluded. Reports steady-state fps
+and the ATE RMSE (Sim3-aligned) of the tracked trajectory vs ground truth.
+
+Phase 2 — two-robot merge: the reference's split-sequence pattern
+(mono_tum.cc:74-114): two robots traverse overlapping halves of ONE scene
+through the robot-parallel StreamBank (both streams advanced in ONE
+vmapped dispatch, parallel/streams.py), sharing a MultiMapper. Reports
+per-stream fps, whether the cross-map merge fired, and the ATE RMSE of the
+UNION of both robots' post-merge trajectories under a single Sim3
+alignment — the number that actually certifies a consistent merged map.
 """
 
 import json
@@ -25,72 +39,174 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/orbslamm_jax_cache")
 CHUNK = 8
 
 
-def main():
-    from orbslamm_tpu.io.synthetic import make_sequence
-    from orbslamm_tpu.models.system import MonocularSession, TrackingState
+def _cfg():
     from orbslamm_tpu.utils.config import (
         CameraConfig, CapacityConfig, OrbConfig, SlamConfig, TrackingConfig,
     )
 
     cam = CameraConfig(width=640, height=480, fx=520.9, fy=521.0, cx=325.1,
                        cy=249.7, fps=30)
-    cfg = SlamConfig(
+    return SlamConfig(
         camera=cam,
         orb=OrbConfig(n_features=1000, max_keypoints=2048),
         capacity=CapacityConfig(max_keyframes=128, max_landmarks=8192),
         tracking=TrackingConfig(pixel_noise=1.2),
     )
-    import jax
+
+
+def bench_single(cfg):
+    from orbslamm_tpu.eval.ate import ate_from_poses
+    from orbslamm_tpu.io.synthetic import make_sequence
+    from orbslamm_tpu.models.system import MonocularSession, TrackingState
 
     n_frames = 248
-    seq = make_sequence(n_frames=n_frames, n_points=2500, cam=cam, seed=7,
-                        motion="forward")
+    seq = make_sequence(n_frames=n_frames, n_points=2500, cam=cfg.camera,
+                        seed=7, motion="forward")
     sess = MonocularSession(cfg)
     sess.tracker.chunk_size = CHUNK
 
     # warmup: initialize (per-frame path) and run two chunks so every
     # steady-state program is compiled before the clock starts
-    i = 0
-    while sess.state != TrackingState.OK and i < n_frames:
-        sess.process_frame(seq.images[i], float(seq.timestamps[i]))
+    i, streak = 0, 0
+    while streak < 3 and i < n_frames // 2:
+        r = sess.process_frame(seq.images[i], float(seq.timestamps[i]))
+        streak = streak + 1 if r.state == "OK" else 0
         i += 1
     if sess.state != TrackingState.OK:
-        print(json.dumps({
-            "metric": "tracking_fps", "value": 0.0, "unit": "frames/s",
-            "vs_baseline": 0.0, "error": "initialization failed",
-        }))
-        return 1
+        return None, "initialization failed"
     for _ in range(2):
         sess.process_frames(seq.images[i : i + CHUNK],
                             seq.timestamps[i : i + CHUNK])
         i += CHUNK
 
-    # steady state: stream the remaining frames chunk by chunk
+    # steady state: stream the remaining frames through the pipelined path
+    n0 = i
+    t0 = time.perf_counter()
+    recs = sess.process_frames(seq.images[i:n_frames], seq.timestamps[i:n_frames])
+    wall = time.perf_counter() - t0
+    n_meas = n_frames - n0
+    n_ok = sum(1 for r in recs if r.state == "OK")
+    if n_ok < n_meas - 3 * CHUNK:
+        return None, f"tracking unstable ({n_ok}/{n_meas} OK)"
+    fps = n_meas / wall
+
+    ok = [f for f in sess.tracker.frames if f.state == "OK"]
+    est = np.stack([f.T_cw for f in ok])
+    idx = [int(round(f.timestamp * cfg.camera.fps)) for f in ok]
+    ate = ate_from_poses(est, seq.poses_cw[idx])
+    return {"fps": round(fps, 2), "ate_rmse_m": round(float(ate), 4)}, None
+
+
+def bench_multi(cfg, n_points=2500):
+    """Two-robot overlapping-halves merge run through the StreamBank."""
+    from orbslamm_tpu.eval.ate import ate_rmse
+    from orbslamm_tpu.io.synthetic import make_sequence
+    from orbslamm_tpu.models.multimap import MultiMapper
+    from orbslamm_tpu.models.system import TrackingState
+    from orbslamm_tpu.parallel import streams as ps
+
+    n_total = 168
+    half = 104
+    starts = [0, n_total - half]  # 40-frame overlap
+    seq = make_sequence(n_frames=n_total, n_points=n_points, cam=cfg.camera,
+                        seed=21, motion="strafe")
+    mm = MultiMapper(cfg)
+    robots = [mm.add_robot(f"r{k}") for k in range(2)]
+
+    offs = []
+    for k, t in enumerate(robots):
+        i, streak = 0, 0
+        while streak < 3 and i < half // 2:
+            r = mm.process_frame(k, seq.images[starts[k] + i],
+                                 float(seq.timestamps[starts[k] + i]))
+            streak = streak + 1 if r.state == "OK" else 0
+            i += 1
+        if t.state != TrackingState.OK:
+            return None, f"robot {k} failed to initialize"
+        offs.append(i)
+    start = max(offs)
+    for k, t in enumerate(robots):
+        for j in range(offs[k], start):
+            mm.process_frame(k, seq.images[starts[k] + j],
+                             float(seq.timestamps[starts[k] + j]))
+
+    bank = ps.StreamBank(cfg, robots, chunk_size=CHUNK)
+
+    def chunk_at(i):
+        imgs = np.stack([
+            np.stack(seq.images[starts[k] + i : starts[k] + i + CHUNK])
+            for k in range(2)
+        ])
+        stamps = np.stack([
+            seq.timestamps[starts[k] + i : starts[k] + i + CHUNK]
+            for k in range(2)
+        ])
+        return imgs, stamps
+
+    # warmup chunk (compiles the vmapped step)
+    i = start
+    imgs, stamps = chunk_at(i)
+    bank.process_chunk(imgs, stamps)
+    i += CHUNK
+
     t0 = time.perf_counter()
     n_meas = 0
-    n_ok = 0
-    while i + CHUNK <= n_frames and sess.state == TrackingState.OK:
-        recs = sess.process_frames(seq.images[i : i + CHUNK],
-                                   seq.timestamps[i : i + CHUNK])
-        n_ok += sum(1 for r in recs if r.state == "OK")
+    while i + CHUNK <= half:
+        imgs, stamps = chunk_at(i)
+        bank.process_chunk(imgs, stamps)
         n_meas += CHUNK
         i += CHUNK
     wall = time.perf_counter() - t0
+    bank.sync_to_trackers()
+    fps_stream = n_meas / wall
 
-    if n_ok < 5 * CHUNK:
-        print(json.dumps({
-            "metric": "tracking_fps", "value": 0.0, "unit": "frames/s",
-            "vs_baseline": 0.0, "error": "tracking failed to reach steady state",
-        }))
+    merged = bool(mm.merges)
+    ate = None
+    if merged:
+        # union ATE under ONE Sim3 alignment: certifies a consistent
+        # merged map across both robots' trajectories
+        mid = robots[0].mapctx.map_id
+        est_c, gt_c = [], []
+        for k, t in enumerate(robots):
+            for f in t.frames:
+                if f.state == "OK" and f.map_id == mid:
+                    R = f.T_cw[:3, :3]
+                    tv = f.T_cw[:3, 3]
+                    est_c.append(-R.T @ tv)
+                    g = seq.poses_cw[int(round(f.timestamp * cfg.camera.fps))]
+                    gt_c.append(-g[:3, :3].T @ g[:3, 3])
+        if len(est_c) >= 10:
+            ate = round(float(ate_rmse(np.stack(est_c), np.stack(gt_c))), 4)
+    return {
+        "fps_per_stream": round(fps_stream, 2),
+        "n_streams": 2,
+        "merged": merged,
+        "merged_ate_rmse_m": ate,
+        "states": [t.state.name for t in robots],
+    }, None
+
+
+def main():
+    cfg = _cfg()
+    out = {"metric": "tracking_fps", "value": 0.0, "unit": "frames/s",
+           "vs_baseline": 0.0}
+    single, err = bench_single(cfg)
+    if single is None:
+        out["error"] = err
+        print(json.dumps(out))
         return 1
-
-    fps = n_meas / wall
-    print(json.dumps({
-        "metric": "tracking_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-    }))
+    out["value"] = single["fps"]
+    out["vs_baseline"] = round(single["fps"] / 30.0, 3)
+    out["single_ate_rmse_m"] = single["ate_rmse_m"]
+    try:
+        multi, merr = bench_multi(cfg)
+        if multi is None:
+            out["multi"] = {"error": merr}
+        else:
+            out["multi"] = multi
+    except Exception as e:  # never lose the single-stream number
+        out["multi"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(out))
     return 0
 
 

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("multi_maps", nargs="?", default="1")
     ap.add_argument("seq2")
     ap.add_argument("settings2")
+    ap.add_argument("--vocabulary", default=None,
+                    help="pretrained DBoW2 ORBvoc.txt (reference CLI arg 1)")
     ap.add_argument("--out", default="out_kitti2")
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args()
@@ -31,7 +33,10 @@ def main():
     # NOTE: per-robot calibrations are supported (kf_K is per-keyframe), but
     # one SlamConfig drives extraction; robot-specific extractor configs are
     # taken from each settings file.
-    cfg = load_settings(args.settings1).replace(multi_mapping=args.multi_maps == "1")
+    cfg = load_settings(args.settings1).replace(
+        multi_mapping=args.multi_maps == "1",
+        vocabulary_path=args.vocabulary,
+    )
     s1 = load_kitti_sequence(args.seq1)
     s2 = load_kitti_sequence(args.seq2)
 

@@ -23,6 +23,9 @@ from orbslamm_tpu.utils.config import load_settings
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
+    ap.add_argument("--vocabulary", default=None,
+                    help="pretrained DBoW2 ORBvoc.txt (reference CLI arg 1); "
+                         "default: train on-device")
     ap.add_argument("source", help="device index, video file, or stream URL")
     ap.add_argument("multi_maps", nargs="?", default="1")
     ap.add_argument("--out", default="out_live")
@@ -30,6 +33,8 @@ def main():
     args = ap.parse_args()
 
     cfg = load_settings(args.settings)
+    if args.vocabulary:
+        cfg = cfg.replace(vocabulary_path=args.vocabulary)
     cfg = cfg.replace(multi_mapping=args.multi_maps == "1")
     src = int(args.source) if args.source.isdigit() else args.source
     frames = video_capture_frames(src, max_frames=args.max_frames)

@@ -19,6 +19,9 @@ from orbslamm_tpu.utils.config import load_settings
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
+    ap.add_argument("--vocabulary", default=None,
+                    help="pretrained DBoW2 ORBvoc.txt (reference CLI arg 1); "
+                         "default: train on-device")
     ap.add_argument("sequence")
     ap.add_argument("multi_maps", nargs="?", default="1")
     ap.add_argument("--two-robots", action="store_true")
@@ -27,6 +30,8 @@ def main():
     args = ap.parse_args()
 
     cfg = load_settings(args.settings)
+    if args.vocabulary:
+        cfg = cfg.replace(vocabulary_path=args.vocabulary)
     cfg = cfg.replace(multi_mapping=args.multi_maps == "1")
     seq = load_newcollege_sequence(args.sequence)
     n = len(seq) if not args.max_frames else min(len(seq), args.max_frames)

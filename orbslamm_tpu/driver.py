@@ -66,9 +66,20 @@ def run_robots(
     out_dir: str | Path | None = None,
     pace_real_time: bool = False,
     verbose: bool = True,
+    span_chunks: int = 4,
 ) -> tuple[MultiMapper, RunReport]:
     """Run all feeds round-robin through a shared MultiMapper (the reference
-    runs one thread per robot; interleaving frames reproduces concurrency).
+    runs one thread per robot; interleaving reproduces concurrency).
+
+    Frames are pulled in SPANS of ``span_chunks * chunk_size`` per robot per
+    round and processed through the PIPELINED chunked path
+    (MultiMapper.process_frames): while tracking is OK, chunk k+1 is
+    dispatched before chunk k's summaries are fetched, so the driver hits
+    the same throughput as bench.py. Per-frame times are span time / frames
+    (the reference's per-frame timing statistics stay comparable,
+    mono_kitti_dif-Seq.cc:213-221). ``pace_real_time`` sleeps the span's
+    remaining real-time budget, pacing like the reference drivers
+    (mono_tum.cc:211-219).
     """
     get_tracer().reset()  # a second run in the same process starts clean
     mm = MultiMapper(cfg)
@@ -88,23 +99,31 @@ def run_robots(
     while live:
         for idx in list(live):
             name, it = iters[idx]
-            try:
-                ts, img = next(it)
-            except StopIteration:
-                live.remove(idx)
+            span = max(1, span_chunks * mm.robots[idx].chunk_size)
+            stamps, imgs = [], []
+            for _ in range(span):
+                try:
+                    ts, img = next(it)
+                except StopIteration:
+                    live.remove(idx) if idx in live else None
+                    break
+                stamps.append(float(ts))
+                imgs.append(img)
+            if not imgs:
                 continue
             t0 = time.perf_counter()
-            rec = mm.process_frame(idx, img, float(ts))
+            recs = mm.process_frames(idx, imgs, stamps)
             dt = time.perf_counter() - t0
-            report.track_times[name].append(dt)
-            report.states[name].append(rec.state)
+            per_frame = dt / len(imgs)
+            report.track_times[name].extend([per_frame] * len(imgs))
+            report.states[name].extend(r.state for r in recs)
             if pace_real_time and cfg.camera.fps > 0:
-                sleep = 1.0 / cfg.camera.fps - dt
+                sleep = len(imgs) / cfg.camera.fps - dt
                 if sleep > 0:
                     time.sleep(sleep)
         frame_no += 1
-        if verbose and frame_no % 30 == 0:
-            print(f"[driver] frame {frame_no}: {mm.summary()}")
+        if verbose and frame_no % 4 == 0:
+            print(f"[driver] span {frame_no}: {mm.summary()}")
 
     if out_dir is not None:
         save_outputs(mm, out_dir)

@@ -56,18 +56,27 @@ def make_landmark_field(
     return pts
 
 
-def make_stamps(n_points: int, blob: int = 5, seed: int = 77) -> np.ndarray:
+def make_stamps(
+    n_points: int, blob: int = 5, seed: int = 77, pool: int | None = None
+) -> np.ndarray:
     """Per-landmark distinctive texture stamps [P, 2b+1, 2b+1] in [0, 1].
 
     Each landmark gets its own asymmetric random pattern so that (a) its ORB
     descriptor is distinctive (the ratio test works like on real imagery) and
     (b) the intensity-centroid orientation is stable across views — a plain
     radially-symmetric blob has neither property.
+
+    ``pool``: draw every landmark's stamp from only ``pool`` unique textures
+    — PERCEPTUAL ALIASING (repeated similar structures, the KITTI-00 facade
+    problem) for loop-closure precision tests.
     """
     rng = np.random.default_rng(seed)
     size = 2 * blob + 1
-    stamps = rng.uniform(0.25, 1.0, (n_points, size, size)).astype(np.float32)
+    n_unique = n_points if pool is None else min(pool, n_points)
+    stamps = rng.uniform(0.25, 1.0, (n_unique, size, size)).astype(np.float32)
     stamps[:, blob, blob] = 1.0  # bright center → reliable FAST response
+    if pool is not None:
+        stamps = stamps[rng.integers(0, n_unique, n_points)]
     return stamps
 
 
@@ -170,6 +179,7 @@ def make_sequence(
     seed: int = 0,
     stereo: bool = False,
     with_depth: bool = False,
+    stamp_pool: int | None = None,
 ) -> SyntheticSequence:
     """Generate a rendered sequence with ground-truth poses.
 
@@ -195,7 +205,7 @@ def make_sequence(
         pts_b[:, 2] += 2.0
         pts = np.concatenate([pts, pts_b], axis=0)
     brightness = rng.uniform(120, 255, len(pts)).astype(np.float32)
-    stamps = make_stamps(len(pts), seed=seed + 100)
+    stamps = make_stamps(len(pts), seed=seed + 100, pool=stamp_pool)
 
     poses = np.zeros((n_frames, 4, 4), np.float32)
     images = np.zeros((n_frames, cam.height, cam.width), np.uint8)

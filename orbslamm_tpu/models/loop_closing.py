@@ -62,6 +62,66 @@ def loop_candidates(
     return scores, allowed, min_score
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_group"))
+def candidate_groups(
+    cfg: SlamConfig,
+    m: ms.MapState,
+    scores: jax.Array,  # [K] raw BoW similarity (-1 / 0 where inadmissible)
+    n_group: int = 10,
+):
+    """KFDB-style covisibility-group score accumulation
+    (KeyFrameDatabase::DetectLoopCandidates, KeyFrameDatabase.cc:129-200):
+    each candidate's score is ACCUMULATED over its top-``n_group`` covisible
+    neighbors, and only groups within 0.75x of the best accumulated score
+    survive. Under perceptual aliasing raw per-keyframe scores are flat —
+    group accumulation rewards PLACES (consistent neighborhoods), which is
+    what makes candidate ranking meaningful at small vocabulary sizes.
+
+    Returns (acc [K] accumulated score per candidate-as-representative,
+    neighbors [K, K] bool group membership incl. self).
+    """
+    K = scores.shape[0]
+    W = ms.covisibility(m)  # [K, K] shared-landmark counts
+    topw, _ = jax.lax.top_k(W, n_group)
+    thresh = jnp.maximum(topw[:, -1:], 1)
+    neighbors = (W >= thresh) & (W > 0) & m.kf_valid[None, :]
+    neighbors = neighbors | jnp.eye(K, dtype=bool)
+    s = jnp.maximum(scores, 0.0)
+    acc = neighbors @ s  # [K] group-accumulated scores
+    acc = jnp.where(scores > 0, acc, -1.0)
+    best = jnp.max(acc)
+    acc = jnp.where(acc >= 0.75 * best, acc, -1.0)
+    return acc, neighbors
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def merge_scan_scores(
+    cfg: SlamConfig,
+    m_b: ms.MapState,
+    bow_b: jax.Array,  # [K, n_words] map B's BoW database
+    slot: jax.Array,  # query keyframe in map B
+    m_a: ms.MapState,
+    bow_a: jax.Array,  # [K, n_words] base map A's BoW database
+):
+    """Cross-map candidate retrieval in ONE dispatch (MultiMapper::DetectLoop,
+    MultiMapper.cc:124-165): raw scores of B's keyframe against A's database,
+    the minScore normalizer from B's covisible keyframes
+    (MultiMapper.cc:145-162), and A-side covisibility-group accumulation.
+
+    Returns (scores [K_A], min_score, acc [K_A], neighbors [K_A, K_A])."""
+    v = bow_b[slot]
+    scores = jnp.where(m_a.kf_valid, bow.bow_score(v, bow_a), -1.0)
+    # minScore: lowest similarity to B-covisible keyframes of the query
+    Wb = ms.covisibility(m_b)
+    conn = (Wb[slot] > 0) & m_b.kf_valid
+    own = bow.bow_score(v, bow_b)
+    cov_scores = jnp.where(conn, own, jnp.inf)
+    min_score = jnp.minimum(jnp.min(cov_scores), 1.0)
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.05)
+    acc, neighbors = candidate_groups(cfg, m_a, scores)
+    return scores, min_score, acc, neighbors
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "min_gap"))
 def batched_loop_candidates(
     cfg: SlamConfig,

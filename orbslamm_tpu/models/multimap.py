@@ -138,6 +138,9 @@ class MultiMapper:
         self.voc: bow.Vocabulary | None = None
         self._key = jax.random.key(1)
         self.merges: list[tuple] = []
+        # per-map newest→oldest rescan cursor (the MultiMapper.cc:124 walk,
+        # amortized across keyframe events)
+        self._rescan_cursor: dict[int, int] = {}
 
     # -- registry ----------------------------------------------------------
     def new_map(self) -> MapContext:
@@ -245,22 +248,52 @@ class MultiMapper:
         mcB = tracker.mapctx
         if mcB.n_kf < cfg.loop.min_kfs_for_merge or mcB.kf_bow is None:
             return False
+        # the reference walks EVERY keyframe of the newer map against each
+        # base map's database, newest first (MultiMapper.cc:124); here the
+        # just-inserted keyframe is scanned plus a rotating newest→oldest
+        # window of older ones, amortizing the same full coverage across
+        # keyframe events
+        slots = [slot]
+        cursor = self._rescan_cursor.get(mcB.map_id, mcB.n_kf - 1)
+        for _ in range(cfg.loop.merge_rescan_per_kf):
+            cursor -= 1
+            if cursor < 0:
+                cursor = mcB.n_kf - 1
+            if cursor not in slots:
+                slots.append(cursor)
+        self._rescan_cursor[mcB.map_id] = cursor
         # scan timed separately from the merge itself: _do_merge has its own
         # "merge" span, and nesting it here would double-count the merge work
         # inside merge_scan medians
         with get_tracer().span("merge_scan", robot=tracker.name):
-            found = self._merge_scan(mcB, slot)
+            found = None
+            for s in slots:
+                found = self._merge_scan(mcB, s)
+                if found is not None:
+                    slot = s
+                    break
         if found is None:
             return False
         mcA, S_ba, cand = found
-        self._do_merge(mcA, mcB, S_ba, slot, cand)
+        # map-swap rule (MultiMapper.cc:372-393): the globally-anchored map
+        # must absorb, never be absorbed — the older map (lower id; it holds
+        # the deployment's original gauge) stays the base
+        if mcB.map_id < mcA.map_id:
+            self._do_merge(mcB, mcA, geo.sim3_inv(S_ba), cand, slot)
+        else:
+            self._do_merge(mcA, mcB, S_ba, slot, cand)
         return True
 
     def _merge_scan(self, mcB: MapContext, slot: int):
         """Scan live maps for a cross-map loop; returns (base_map, Sim3,
-        candidate_slot) or None — the merge itself runs in the caller."""
+        candidate_slot) or None — the merge itself runs in the caller.
+
+        KFDB-rigor candidate handling (KeyFrameDatabase.cc:79-200 via
+        lc_stage.merge_scan_scores): minScore normalization from the query's
+        covisibles, covisibility-group score accumulation on the base map,
+        and geometric (Sim3) verification of the top-k group
+        representatives instead of a bare argmax."""
         cfg = self.cfg
-        vB = mcB.kf_bow[slot]
         for mcA in self.live_maps():
             if mcA is mcB or mcA.kf_bow is None:
                 continue
@@ -277,19 +310,29 @@ class MultiMapper:
                     capacity=cfg.capacity.max_keyframes,
                 )
                 continue
-            scores = np.asarray(
-                jnp.where(mcA.map.kf_valid, bow.bow_score(vB, mcA.kf_bow), -1.0)
+            scores_d, min_score_d, acc_d, nb_d = lc_stage.merge_scan_scores(
+                cfg, mcB.map, mcB.kf_bow, jnp.int32(slot), mcA.map, mcA.kf_bow
             )
-            cand = int(scores.argmax())
-            if scores[cand] < 0.015:
+            scores = np.asarray(scores_d)
+            floor = max(float(min_score_d), 0.015)
+            if float(scores.max()) < floor:
                 continue
-            self._key, sub = jax.random.split(self._key)
-            ls = lc_stage.compute_loop_sim3_cross(
-                cfg, mcB.map, mcA.map, jnp.int32(slot), jnp.int32(cand), sub
-            )
-            if not bool(ls.success):
-                continue
-            return mcA, ls.S_ba, cand
+            acc = np.asarray(acc_d)
+            nb = np.asarray(nb_d)
+            acc = np.where(scores >= floor, acc, -1.0)
+            masked = acc.copy()
+            for _ in range(cfg.loop.top_k_candidates):
+                cand = int(masked.argmax())
+                if masked[cand] <= 0:
+                    break
+                masked[nb[cand]] = -1.0  # dedupe whole group
+                self._key, sub = jax.random.split(self._key)
+                ls = lc_stage.compute_loop_sim3_cross(
+                    cfg, mcB.map, mcA.map, jnp.int32(slot), jnp.int32(cand),
+                    sub,
+                )
+                if bool(ls.success):
+                    return mcA, ls.S_ba, cand
         return None
 
     def _do_merge(self, mcA: MapContext, mcB: MapContext, S_cam, slot_b: int, slot_a: int):
@@ -324,7 +367,14 @@ class MultiMapper:
         # fuse duplicate landmarks around the seam (SearchAndFuse, :668)
         for s in (merged_slot_b, slot_a):
             mcA.map = lm_stage.fuse_neighbors(cfg, mcA.map, jnp.int32(s))
-        mcA.map = lc_stage.global_bundle_adjust(cfg, mcA.map, iters=8)
+        # one immediate GBA slice; the rest run overlapped at chunk
+        # boundaries (the reference's detached RunGlobalBundleAdjustmentonMap
+        # with abort-on-new-event, LoopClosing.cc:812 — re-scheduling on a
+        # fresh merge is the abort analog)
+        mcA.map = lc_stage.global_bundle_adjust(
+            cfg, mcA.map, iters=mcA.gba_slice_iters
+        )
+        mcA.gba_remaining = 6
         # switch every robot that tracked B onto the merged map
         for r in self.robots:
             if r.mapctx is mcB:

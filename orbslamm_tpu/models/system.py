@@ -117,6 +117,18 @@ class MapContext:
             self._alloc_bow()
         self.last_loop_kf = -(10**9)
         self.loops_closed: list = []
+        # covisibility-consistency chains (LoopClosing.cc:158-217): each
+        # entry is (group member set, consecutive-detection count)
+        self._consist: list[tuple[set, int]] = []
+        # overlapped global BA (the reference's detached, abortable GBA
+        # thread, LoopClosing.cc:585,656-810, TPU-style): a loop closure /
+        # merge schedules ``gba_remaining`` LM slices which run one per
+        # chunk boundary OVER THE CURRENT MAP STATE — keyframes inserted
+        # between slices join the problem automatically, so the reference's
+        # spanning-tree reconciliation of a stale snapshot is unnecessary.
+        # A new loop/merge simply re-schedules (the abort analog).
+        self.gba_remaining = 0
+        self.gba_slice_iters = 2
         self.merged_into: "MapContext | None" = None
         # runtime toggle replacing the reference's LoopClosing thread
         # enable/disable; also gates lazy vocabulary training
@@ -152,19 +164,39 @@ class MapContext:
         return int(slot)
 
     # -- BoW database -----------------------------------------------------
+    _voc_file_cache: dict = {}
+
     def ensure_vocabulary(self) -> bool:
-        """Train the shared vocabulary from this map's descriptors if absent."""
+        """Provide the vocabulary: load the pretrained DBoW2 file when
+        configured (the reference's mandatory ORBvoc.txt,
+        System.cc:167-168), else train from this map's descriptors."""
         if self.voc is not None:
             return True
-        if self.n_kf < 4:
-            return False
-        kv = np.asarray(self.map.kf_valid)
-        descs = [
-            np.asarray(self.map.kf_desc[s])[np.asarray(self.map.kf_feat_valid[s])]
-            for s in np.nonzero(kv)[0]
-        ]
-        self.voc = bow.build_vocabulary(np.concatenate(descs), branching=8, depth=3, iters=6)
+        if self.cfg.vocabulary_path:
+            path = str(self.cfg.vocabulary_path)
+            voc = MapContext._voc_file_cache.get(path)
+            if voc is None:
+                voc = bow.load_orb_vocabulary_text(
+                    path, max_depth=self.cfg.loop.vocab_depth + 1
+                )
+                MapContext._voc_file_cache[path] = voc
+            self.voc = voc
+        else:
+            if self.n_kf < 4:
+                return False
+            kv = np.asarray(self.map.kf_valid)
+            descs = [
+                np.asarray(self.map.kf_desc[s])[np.asarray(self.map.kf_feat_valid[s])]
+                for s in np.nonzero(kv)[0]
+            ]
+            self.voc = bow.build_vocabulary(
+                np.concatenate(descs),
+                branching=self.cfg.loop.vocab_branching,
+                depth=self.cfg.loop.vocab_depth,
+                iters=self.cfg.loop.vocab_iters,
+            )
         self._alloc_bow()
+        kv = np.asarray(self.map.kf_valid)
         self.update_bow_rows([int(s) for s in np.nonzero(kv)[0]])
         return True
 
@@ -219,24 +251,91 @@ class MapContext:
                 min_score = float(min_score)
             else:
                 sc, min_score = precomputed
-            cand = int(sc.argmax())
-            if sc[cand] < max(min_score, 0.015):
+            # minScore normalization (LoopClosing.cc:131): candidates must
+            # score at least as well as the worst covisible keyframe
+            floor = max(min_score, 0.015)
+            if float(sc.max()) < floor:
+                # no candidates at all → consistency chains reset
+                # (LoopClosing.cc:152)
+                self._consist = []
                 return False
-            ls = lc_stage.compute_loop_sim3(
-                cfg, self.map, jnp.int32(slot), jnp.int32(cand), key
+            # covisibility-GROUP accumulation + top-k representatives
+            # (KeyFrameDatabase.cc:129-200): under perceptual aliasing the
+            # raw argmax is unreliable; places (groups) rank better
+            acc_d, nb_d = lc_stage.candidate_groups(
+                cfg, self.map, jnp.asarray(np.where(sc >= floor, sc, -1.0))
             )
-        if not bool(ls.success):
+            acc = np.asarray(acc_d)
+            nb = np.asarray(nb_d)
+            cands: list[int] = []
+            masked = acc.copy()
+            for _ in range(cfg.loop.top_k_candidates):
+                c = int(masked.argmax())
+                if masked[c] <= 0:
+                    break
+                cands.append(c)
+                masked[nb[c]] = -1.0  # dedupe: drop the whole group
+            # consistency over consecutive keyframes (LoopClosing.cc:158-217):
+            # a candidate group must reappear for covisibility_consistency
+            # consecutive detections before geometric verification
+            prev = self._consist
+            new_groups: list[tuple[set, int]] = []
+            enough: list[int] = []
+            for c in cands:
+                group = set(np.nonzero(nb[c])[0].tolist())
+                count = 0
+                for pg, pc in prev:
+                    if group & pg:
+                        count = max(count, pc + 1)
+                new_groups.append((group, count))
+                if count >= cfg.loop.covisibility_consistency:
+                    enough.append(c)
+            self._consist = new_groups
+            if not enough:
+                return False
+            ls, cand = None, -1
+            for c in enough:
+                ls_c = lc_stage.compute_loop_sim3(
+                    cfg, self.map, jnp.int32(slot), jnp.int32(c), key
+                )
+                if bool(ls_c.success):
+                    ls, cand = ls_c, c
+                    break
+        if ls is None:
             return False
         with tr.span("loop_correct", map_id=self.map_id):
             self.map = lc_stage.correct_loop(
                 cfg, self.map, jnp.int32(slot), jnp.int32(cand), ls.S_ba
             )
-            self.map = lc_stage.global_bundle_adjust(cfg, self.map, iters=8)
+            # one immediate slice to stabilize the seam; the rest of the
+            # global BA runs overlapped, one slice per chunk boundary
+            self.map = lc_stage.global_bundle_adjust(
+                cfg, self.map, iters=self.gba_slice_iters
+            )
+            self.gba_remaining = 6
         self.last_loop_kf = slot
+        self._consist = []
         self.loops_closed.append((slot, cand, int(ls.n_inliers)))
         tr.incr("loops_closed")
         tr.event("loop_closed", map_id=self.map_id, slot=slot, cand=cand,
                  inliers=int(ls.n_inliers))
+        return True
+
+    def gba_slice(self) -> bool:
+        """Run one overlapped global-BA slice if any are scheduled. Returns
+        True when a slice ran. Called at chunk boundaries — the TPU-shaped
+        equivalent of the reference's background GBA thread making progress
+        between keyframe insertions."""
+        if self.gba_remaining <= 0:
+            return False
+        tr = get_tracer()
+        with tr.span("gba_slice", map_id=self.map_id,
+                     remaining=self.gba_remaining):
+            self.map = lc_stage.global_bundle_adjust(
+                self.cfg, self.map, iters=self.gba_slice_iters
+            )
+        self.gba_remaining -= 1
+        tr.incr("gba_slices")
         return True
 
     def summary(self) -> dict:
@@ -644,6 +743,7 @@ class RobotTracker:
                 self.velocity = jnp.eye(4)
             if self.on_keyframe is not None:
                 self.on_keyframe(self, slot)
+            mc.gba_slice()
         return n_inl
 
     # -- chunked streaming path ---------------------------------------------
@@ -818,6 +918,8 @@ class RobotTracker:
             # correct_loop fused landmarks → the carried indicator is stale
             self._ts = self._ts._replace(obs_ind=ms.lm_indicator(mc.map))
             self.T_cw = np.asarray(self.T_cw @ np.linalg.inv(T_old) @ T_new)
+        # overlapped global BA: one slice per chunk boundary while scheduled
+        mc.gba_slice()
         return recs
 
     # -- public API --------------------------------------------------------

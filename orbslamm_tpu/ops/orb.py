@@ -82,12 +82,13 @@ class Features(NamedTuple):
 # TPU-native design: the 256 binary tests draw from a SHARED pool of
 # N_SAMPLE_POINTS sample positions instead of 512 independent endpoints.
 # Per-keypoint image sampling is a random-access gather — the dominant cost
-# of descriptor extraction on TPU — so quartering the gathered points
-# (512 → 128) quarters the hot loop while the 256 pairwise tests keep full
-# descriptor entropy (classic BRIEF variants pair from a point pool the
-# same way).
+# of descriptor extraction on TPU — so halving the gathered points
+# (512 → 256) halves the hot loop. Each pool point is reused by ~2 tests:
+# at 128 points the induced bit correlations measurably blur the
+# best-vs-second-best match margin (ratio-test recall drops on loop
+# candidate pairs); 256 keeps the margin while still saving the gathers.
 
-N_SAMPLE_POINTS = 128
+N_SAMPLE_POINTS = 256
 
 
 @functools.lru_cache(maxsize=1)

@@ -62,6 +62,16 @@ def match_stereo(
     j = jnp.argmin(Dm, axis=1)
     best = jnp.take_along_axis(Dm, j[:, None], axis=1)[:, 0]
     ok = jnp.isfinite(best) & (best <= th_dist)
+    # ambiguity rejection the reference leaves to SAD refinement: a wrong
+    # in-band winner poisons METRIC depth, so require the winner to beat
+    # the runner-up clearly AND be its right feature's mutual best
+    M = Dm.shape[1]
+    second = jnp.min(
+        Dm + jax.nn.one_hot(j, M, dtype=Dm.dtype) * jnp.inf, axis=1
+    )
+    ok &= best <= 0.85 * jnp.where(jnp.isfinite(second), second, 1e9)
+    rev = jnp.argmin(Dm, axis=0)
+    ok &= rev[j] == jnp.arange(Dm.shape[0])
 
     uR = jnp.take(featsR.xy[:, 0], j)
     d = featsL.xy[:, 0] - uR

@@ -76,3 +76,92 @@ def make_stream_extractor(mesh: Mesh, extract_fn, axis: str = "d"):
     ss = NamedSharding(mesh, P(axis, None, None))
     vf = jax.vmap(extract_fn)
     return jax.jit(vf, in_shardings=(ss,))
+
+
+# ---------------------------------------------------------------------------
+# Keyframe-block-sharded global BA (BASELINE §5.7: "maps / keyframe blocks
+# sharded across hosts")
+# ---------------------------------------------------------------------------
+
+def map_kf_shardings(mesh: Mesh, axis: str = "d"):
+    """MapState sharding spec: keyframe-axis arrays sharded in BLOCKS over
+    the mesh, landmark pool + counters replicated.
+
+    This is the long-context analog the reference lacks (SURVEY.md §5.7):
+    one large/merged map's keyframes — poses, feature blocks, observation
+    rows — live block-distributed across devices; landmark state is the
+    replicated "parameter server" side that every block's Schur reduction
+    psums into.
+    """
+    from orbslamm_tpu.models import map_state as ms
+
+    ks = NamedSharding(mesh, P(axis))
+    rs = NamedSharding(mesh, P())
+    return ms.MapState(
+        kf_pose=ks, kf_K=ks, kf_valid=ks, kf_fixed=ks, kf_frame_id=ks,
+        kf_timestamp=ks, kf_xy=ks, kf_desc=ks, kf_level=ks, kf_angle=ks,
+        kf_feat_valid=ks, kf_obs_lm=ks, kf_ur=ks,
+        lm_pos=rs, lm_valid=rs, lm_desc=rs, lm_normal=rs, lm_dist_min=rs,
+        lm_dist_max=rs, lm_ref_kf=rs, lm_first_kf=rs, lm_visible=rs,
+        lm_found=rs, n_kf=rs, n_lm=rs,
+    )
+
+
+def shard_map_kf_blocks(m, mesh: Mesh, axis: str = "d"):
+    """Place a MapState with keyframe blocks sharded across the mesh."""
+    spec = map_kf_shardings(mesh, axis)
+    return jax.tree.map(jax.device_put, m, spec)
+
+
+def make_kf_sharded_gba(mesh: Mesh, cfg, iters: int = 8, axis: str = "d"):
+    """Jitted global BA over a keyframe-block-sharded MapState.
+
+    The full map is the "window" of ops/ba.bundle_adjust_window: camera
+    blocks (Hcc, gc) reduce locally per keyframe shard; the per-point
+    blocks (Hpp, gp, W) are psum-ed across shards by GSPMD; the reduced
+    [6K, 6K] camera solve runs replicated (small). Replaces the reference's
+    single-threaded g2o GlobalBundleAdjustemnt (Optimizer.cc:40/59) with a
+    collective-parallel solve whose work scales with keyframes-per-device.
+    Returns MapState -> MapState (poses + landmark positions updated).
+    """
+    import jax.numpy as jnp
+
+    from orbslamm_tpu.ops import ba as ba_ops
+
+    spec = map_kf_shardings(mesh, axis)
+
+    def gba(m):
+        K, Mfeat = m.kf_obs_lm.shape
+        obs_lm = m.kf_obs_lm
+        feat_ok = m.kf_feat_valid & (obs_lm >= 0) & m.kf_valid[:, None]
+        lm_idx = jnp.maximum(obs_lm, 0)
+        feat_ok &= m.lm_valid[lm_idx]
+        sigma2 = (
+            cfg.tracking.pixel_noise
+            * cfg.orb.scale_factor ** m.kf_level.astype(jnp.float32)
+        ) ** 2
+        res = ba_ops.bundle_adjust_window(
+            T_cw=m.kf_pose,
+            K=m.kf_K,
+            cam_valid=m.kf_valid,
+            cam_fixed=m.kf_fixed,
+            points=m.lm_pos,
+            point_valid=m.lm_valid,
+            obs_point=lm_idx.astype(jnp.int32),
+            obs_uv=m.kf_xy,
+            obs_sigma2=sigma2,
+            obs_valid=feat_ok,
+            iters=iters,
+            obs_ur=m.kf_ur if cfg.camera.bf > 0 else None,
+            bf=(
+                jnp.full((K,), cfg.camera.bf, jnp.float32)
+                if cfg.camera.bf > 0
+                else None
+            ),
+        )
+        return m._replace(
+            kf_pose=jnp.where(m.kf_valid[:, None, None], res.T_cw, m.kf_pose),
+            lm_pos=res.points,
+        )
+
+    return jax.jit(gba, in_shardings=(spec,), out_shardings=spec)

@@ -263,6 +263,19 @@ class StreamBank:
             if slots:
                 self._replay_follower_kfs(r, o, slots)
                 self._refresh_shared(o)
+        # overlapped global BA: one slice per scheduled map per chunk
+        for r, t in enumerate(self.trackers):
+            if r in self.followers:
+                continue  # the owner runs the shared map's slices
+            mc = t.mapctx
+            if mc.gba_remaining > 0:
+                if self._dirty[r]:
+                    self._sync_tracker(r)
+                if mc.gba_slice():
+                    if any(ow == r for ow in self.followers.values()):
+                        self._refresh_shared(r)
+                    else:
+                        self.m_all = tree_set(self.m_all, r, mc.map)
         return all_recs
 
     # -- cross-robot merge support ----------------------------------------

@@ -134,6 +134,21 @@ class LoopConfig:
     min_kfs_for_merge: int = 10  # MultiMapper.cc:112
     kfs_between_loops: int = 10  # LoopClosing.cc:115
     essential_graph_min_weight: int = 100  # Optimizer.cc:1110
+    # candidate scan breadth: top-k covisibility-GROUP representatives are
+    # geometrically verified, not just the raw argmax (KFDB retains every
+    # group within 0.75x of the best, KeyFrameDatabase.cc:188-198)
+    top_k_candidates: int = 3
+    # merge rescan: older keyframes of the newer map re-queried per scan
+    # call, newest→oldest (the reference walks ALL of map B's keyframes
+    # against the base KFDB, MultiMapper.cc:124)
+    merge_rescan_per_kf: int = 2
+    # on-device vocabulary training parameters (used when no pretrained
+    # vocabulary file is given; the reference always loads a pretrained
+    # ~1M-word ORBvoc.txt — pass SlamConfig.vocabulary_path for that).
+    # 10^4-word production training = branching 10, depth 4.
+    vocab_branching: int = 8
+    vocab_depth: int = 3
+    vocab_iters: int = 6
 
 
 @dataclass(frozen=True)
@@ -159,6 +174,10 @@ class SlamConfig:
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
     multi_mapping: bool = True  # ORBSLAMM mode: new map on loss + merge
     sensor: str = "mono"  # "mono" | "stereo" | "rgbd" (System eSensor analog)
+    # pretrained DBoW2 text vocabulary (the reference CLI's first positional
+    # argument, README.md:117-124); None = train on-device from session
+    # descriptors (LoopConfig.vocab_* parameters)
+    vocabulary_path: str | None = None
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)

@@ -51,6 +51,7 @@ class SpanStats:
             "mean_ms": round(float(arr.mean()) * 1e3, 3),
             "median_ms": round(float(np.median(arr)) * 1e3, 3),
             "p90_ms": round(float(np.percentile(arr, 90)) * 1e3, 3),
+            "p99_ms": round(float(np.percentile(arr, 99)) * 1e3, 3),
             "max_ms": round(float(arr.max()) * 1e3, 3),
         }
 

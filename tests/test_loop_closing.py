@@ -155,3 +155,34 @@ def test_correct_loop_pulls_segment_back(drifted):
     uv = (pc[:, :2] / pc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
     res = np.linalg.norm(uv - np.asarray(m2.kf_xy[slot])[fv], axis=1)
     assert np.median(res) < 3.0, f"median reproj after correction {np.median(res)}"
+
+
+@pytest.mark.slow
+def test_no_false_closure_under_aliasing():
+    """Loop-closure PRECISION under perceptual aliasing: a long trajectory
+    with only ~20 unique textures repeated over every landmark (the
+    repeated-facade problem) and NO revisit must close no loop — the
+    covisibility-consistency chain + group scoring + Sim3 verification
+    (LoopClosing.cc:158-217, KeyFrameDatabase.cc:129-200) must reject the
+    high-but-wrong BoW candidates aliasing produces."""
+    from orbslamm_tpu.io.synthetic import make_sequence
+    from orbslamm_tpu.models.system import MonocularSession
+
+    cfg = SlamConfig(
+        camera=CFG.camera,
+        orb=OrbConfig(n_features=400, max_keypoints=1024, n_levels=4),
+        capacity=CapacityConfig(max_keyframes=64, max_landmarks=4096),
+        tracking=TrackingConfig(
+            pixel_noise=1.2, min_matches_init=55, init_min_triangulated=30,
+            init_min_parallax_deg=0.4,
+        ),
+    )
+    seq = make_sequence(n_frames=72, n_points=1000, cam=cfg.camera, seed=5,
+                        motion="strafe", stamp_pool=60)
+    sess = MonocularSession(cfg)
+    recs = sess.process_frames(seq.images, seq.timestamps)
+    n_ok = sum(1 for r in recs if r.state == "OK")
+    assert n_ok > 30, f"aliased scene barely tracked ({n_ok} OK frames)"
+    assert sess.loops_closed == [], (
+        f"false loop closure(s) under aliasing: {sess.loops_closed}"
+    )
