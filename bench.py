@@ -41,7 +41,8 @@ CHUNK = 8
 
 def _cfg():
     from orbslamm_tpu.utils.config import (
-        CameraConfig, CapacityConfig, OrbConfig, SlamConfig, TrackingConfig,
+        CameraConfig, CapacityConfig, LoopConfig, OrbConfig, SlamConfig,
+        TrackingConfig,
     )
 
     cam = CameraConfig(width=640, height=480, fx=520.9, fy=521.0, cx=325.1,
@@ -51,6 +52,10 @@ def _cfg():
         orb=OrbConfig(n_features=1000, max_keypoints=2048),
         capacity=CapacityConfig(max_keyframes=128, max_landmarks=8192),
         tracking=TrackingConfig(pixel_noise=1.2),
+        # production-scale vocabulary (10^4 words, the truncated-ORBvoc
+        # size): at 512 words BoW scores are too flat for reliable
+        # cross-map candidate ranking under aliasing
+        loop=LoopConfig(vocab_branching=10, vocab_depth=4),
     )
 
 
@@ -143,11 +148,14 @@ def bench_multi(cfg, n_points=2500):
         ])
         return imgs, stamps
 
-    # warmup chunk (compiles the vmapped step)
+    # warmup chunks (compile the vmapped step + fill the pipeline; the
+    # with_bow rebuild after vocabulary training recompiles once)
     i = start
-    imgs, stamps = chunk_at(i)
-    bank.process_chunk(imgs, stamps)
-    i += CHUNK
+    for _ in range(2):
+        if i + CHUNK <= half:
+            imgs, stamps = chunk_at(i)
+            bank.process_chunk(imgs, stamps)
+            i += CHUNK
 
     t0 = time.perf_counter()
     n_meas = 0
@@ -156,6 +164,7 @@ def bench_multi(cfg, n_points=2500):
         bank.process_chunk(imgs, stamps)
         n_meas += CHUNK
         i += CHUNK
+    bank.flush()
     wall = time.perf_counter() - t0
     bank.sync_to_trackers()
     fps_stream = n_meas / wall

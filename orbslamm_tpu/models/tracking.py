@@ -155,8 +155,18 @@ def track_local_map(
     ].set(True)[: m.lm_pos.shape[0]]
     vis &= ~assoc
 
-    # take the n_candidates best (visible first) to bound the matmul
-    key = vis.astype(jnp.float32)
+    # take the n_candidates best (visible first) to bound the matmul.
+    # Among visible landmarks prefer RECENTLY CREATED ones: a flat 0/1 key
+    # ties-break by slot index, so once the frustum holds more than
+    # n_candidates valid landmarks the oldest slots always win and newly
+    # triangulated territory never reaches the matcher — tracking starves
+    # as the camera advances. Recency is the array-pool analog of the
+    # reference's covisibility-local-map (UpdateLocalPoints walks the
+    # CURRENT frame's neighbor keyframes, Tracking.cc:1268).
+    recency = m.lm_first_kf.astype(jnp.float32) / jnp.float32(
+        m.kf_pose.shape[0]
+    )
+    key = vis.astype(jnp.float32) * (1.0 + recency)
     _, cand = jax.lax.top_k(key, n_candidates)
     cand_ok = vis[cand]
     cand_uv = uv[cand]

@@ -35,24 +35,27 @@ from orbslamm_tpu.utils.config import SlamConfig
 from orbslamm_tpu.utils.trace import get_tracer
 
 
-def make_multistream_chunk_step(cfg: SlamConfig, extract_fn):
+def make_multistream_chunk_step(cfg: SlamConfig, extract_fn,
+                                with_bow: bool = False):
     """jit(vmap(chunk)) over a leading robot axis.
 
-    Returns step(m[R,...], ts[R,...], K[R,3,3], images[R,C,H,W],
-    frame_ids[R,C], timestamps[R,C], allow_kf[R]) ->
-    (m, ts, summaries[R,C])."""
-    body = fused._make_frame_body(cfg, extract_fn)
+    Returns step(m[R,...], ts[R,...], kf_bow[R,K,W], K[R,3,3],
+    images[R,C,H,W], frame_ids[R,C], timestamps[R,C], allow_kf[R], voc) ->
+    (m, ts, kf_bow, summaries[R,C]). With ``with_bow`` the per-keyframe BoW
+    database update + loop-candidate scan ride inside the program (the
+    shared vocabulary broadcasts across the robot axis); without it,
+    ``kf_bow`` is an [R] dummy passed through."""
+    body = fused._make_frame_body(cfg, extract_fn, with_bow=with_bow)
 
-    def one_robot(m, ts, K, images, frame_ids, timestamps, allow_kf):
-        m, ts, _, summaries = fused._chunk_body(
-            body, extract_fn, m, ts, jnp.zeros((), jnp.float32), None,
+    def one_robot(m, ts, kf_bow, K, images, frame_ids, timestamps, allow_kf,
+                  voc):
+        return fused._chunk_body(
+            body, extract_fn, m, ts, kf_bow, voc,
             images, frame_ids, timestamps, K, allow_kf,
         )
-        return m, ts, summaries
 
-    return functools.partial(jax.jit, donate_argnums=(0, 1))(
-        jax.vmap(one_robot)
-    )
+    vm = jax.vmap(one_robot, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))
+    return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(vm)
 
 
 def stack_trees(trees):
@@ -116,8 +119,15 @@ class StreamBank:
         self.chunk_size = chunk_size
         if not self.trackers:
             raise ValueError("StreamBank needs at least one tracker")
-        ext = self.trackers[0].extract
-        self._step = make_multistream_chunk_step(cfg, ext)
+        self._extract = self.trackers[0].extract
+        # the step is built lazily (and rebuilt ONCE when the shared
+        # vocabulary appears — the with_bow program folds the BoW database
+        # update + loop-candidate scan into the dispatch)
+        self._step = None
+        self._step_bow = False
+        self.bow_all = None  # [R, K, n_words] when with_bow
+        # pipelining: the dispatched-but-unfetched chunk (device values)
+        self._pending = None
         # stack per-robot device state [R, ...]
         for t in self.trackers:
             if t._ts is None:
@@ -146,38 +156,95 @@ class StreamBank:
         return len(self.trackers)
 
     def process_chunk(self, images, timestamps):
-        """Advance every stream by one chunk in ONE dispatch.
+        """Advance every stream by one chunk in ONE PIPELINED dispatch.
 
         images: [R, C, H, W] uint8 (numpy or device), timestamps: [R, C].
-        Returns per-robot lists of FrameRecord."""
-        from orbslamm_tpu.models.system import FrameRecord, TrackingState
+        Chunk k+1 is dispatched before chunk k's summaries are fetched, so
+        host work and transfers overlap device compute (the single-stream
+        path's double-buffering). Returns the PREVIOUS chunk's per-robot
+        FrameRecord lists ([] on the first call); ``flush()`` /
+        ``sync_to_trackers`` drains the in-flight chunk."""
+        tok = self._dispatch(images, timestamps)
+        out = []
+        if self._pending is not None:
+            out = self._finish(self._pending)
+        self._pending = tok
+        return out
 
+    def flush(self):
+        """Finish the in-flight chunk (if any) and return its records."""
+        if self._pending is None:
+            return []
+        out = self._finish(self._pending)
+        self._pending = None
+        return out
+
+    def _want_bow(self) -> bool:
+        vocs = [t.mapctx.voc for t in self.trackers]
+        return all(v is not None for v in vocs) and all(
+            v is vocs[0] for v in vocs
+        ) and all(t.mapctx.kf_bow is not None for t in self.trackers)
+
+    def _dispatch(self, images, timestamps):
         R, C = len(self.trackers), len(timestamps[0])
+        want_bow = self._want_bow()
+        if self._step is None or self._step_bow != want_bow:
+            self._step = make_multistream_chunk_step(
+                self.cfg, self._extract, with_bow=want_bow
+            )
+            self._step_bow = want_bow
+            self.bow_all = (
+                stack_trees([t.mapctx.kf_bow for t in self.trackers])
+                if want_bow else None
+            )
         imgs = jnp.asarray(images)
+        fid0s = [t.frame_id + 1 for t in self.trackers]
         fids = jnp.stack([
-            jnp.arange(t.frame_id + 1, t.frame_id + 1 + C, dtype=jnp.int32)
-            for t in self.trackers
+            jnp.arange(f0, f0 + C, dtype=jnp.int32) for f0 in fid0s
         ])
+        for t in self.trackers:
+            t.frame_id += C
         stamps = jnp.asarray(np.asarray(timestamps, np.float32))
         allow = jnp.asarray(
             [not t.localization_only for t in self.trackers]
         )
+        bow_in = self.bow_all if want_bow else jnp.zeros((R,), jnp.float32)
+        voc = self.trackers[0].mapctx.voc if want_bow else None
         tr = get_tracer()
         with tr.span("multistream_chunk", n_streams=R, chunk=C):
-            self.m_all, self.ts_all, summaries = self._step(
-                self.m_all, self.ts_all, self.K_all, imgs, fids, stamps, allow
+            self.m_all, self.ts_all, bow_out, summaries = self._step(
+                self.m_all, self.ts_all, bow_in, self.K_all, imgs, fids,
+                stamps, allow, voc,
             )
-            s = jax.device_get(summaries)  # ONE host sync for all streams
+        if want_bow:
+            self.bow_all = bow_out
+        return {
+            "summaries": summaries,
+            "timestamps": np.asarray(timestamps, np.float64),
+            "fid0s": fid0s,
+            "want_bow": want_bow,
+        }
+
+    def _finish(self, token):
+        """Fetch a dispatched chunk's summaries and run all keyframe-rate
+        host events (records, loop closing, merge scans, follower replay,
+        GBA slices)."""
+        from orbslamm_tpu.models.system import FrameRecord, TrackingState
+
+        timestamps = token["timestamps"]
+        want_bow = token["want_bow"]
+        R, C = len(self.trackers), timestamps.shape[1]
+        tr = get_tracer()
+        s = jax.device_get(token["summaries"])  # ONE host sync, all streams
 
         all_recs = []
-        kfs_per_robot: list[list[int]] = []
+        kfs_per_robot: list[list[tuple[int, int]]] = []  # (slot, j)
         any_kfs = False
         for r, t in enumerate(self.trackers):
             mc = t.mapctx
             recs = []
             new_kfs = []
             for j in range(C):
-                t.frame_id += 1
                 ok = bool(s.tracking_ok[r, j])
                 n_inl = int(s.n_inliers[r, j]) if ok else 0
                 if ok:
@@ -186,12 +253,12 @@ class StreamBank:
                         slot = int(s.kf_slot[r, j])
                         if r not in self.followers:
                             mc.n_kf = max(mc.n_kf, slot + 1)
-                        new_kfs.append(slot)
+                        new_kfs.append((slot, j))
                         tr.incr("keyframes_inserted")
                 else:
                     t.state = TrackingState.LOST
                 rec = FrameRecord(
-                    frame_id=t.frame_id,
+                    frame_id=token["fid0s"][r] + j,
                     timestamp=float(timestamps[r][j]),
                     T_cw=np.asarray(t.T_cw),
                     state=t.state.name,
@@ -224,10 +291,18 @@ class StreamBank:
             mc = t.mapctx
             # keyframe-rate host events on this robot's slice
             if mc.voc is not None or t.on_keyframe is not None:
-                mc.update_bow_rows(new_kfs)
-                pre = mc.loop_scan(new_kfs)
+                if want_bow:
+                    # BoW rows + candidate scores computed INSIDE the chunk
+                    pre = {
+                        slot: (np.asarray(s.loop_scores[r, j]),
+                               float(s.loop_min_score[r, j]))
+                        for slot, j in new_kfs
+                    }
+                else:
+                    mc.update_bow_rows([slot for slot, _ in new_kfs])
+                    pre = mc.loop_scan([slot for slot, _ in new_kfs])
                 changed = False
-                for slot in new_kfs:
+                for slot, _j in new_kfs:
                     t._key, sub = jax.random.split(t._key)
                     if mc.try_close_loop(slot, sub, precomputed=pre.get(slot)):
                         # loop correction moved the map: restart the motion
@@ -258,7 +333,7 @@ class StreamBank:
                     )
         # chunk-epoch reconciliation of established followers
         for r, o in list(self.followers.items()):
-            slots = [s_ for s_ in kfs_per_robot[r]
+            slots = [s_ for s_, _j in kfs_per_robot[r]
                      if s_ >= self._follower_base_nkf.get(r, 0)]
             if slots:
                 self._replay_follower_kfs(r, o, slots)
@@ -342,6 +417,8 @@ class StreamBank:
             t.mapctx = mc
             self.m_all = tree_set(self.m_all, r, mc.map)
             self.ts_all = tree_set(self.ts_all, r, t._ts)
+            if self.bow_all is not None and mc.kf_bow is not None:
+                self.bow_all = self.bow_all.at[r].set(mc.kf_bow)
             self._dirty[r] = False
         # snapshot of the authoritative pool's occupancy for the next
         # reconciliation's association filter, and the keyframe high-water
@@ -392,10 +469,13 @@ class StreamBank:
         after the owner handled a loss (new map / reset / relocalization)
         or a merge changed the robot's active map."""
         t = self.trackers[r]
+        self.followers.pop(r, None)
         if t._ts is None:
             t._ts = t._make_ts()
         self.m_all = tree_set(self.m_all, r, t.mapctx.map)
         self.ts_all = tree_set(self.ts_all, r, t._ts)
+        if self.bow_all is not None and t.mapctx.kf_bow is not None:
+            self.bow_all = self.bow_all.at[r].set(t.mapctx.kf_bow)
         self._dirty[r] = False
 
     def _sync_tracker(self, r: int):
@@ -407,12 +487,15 @@ class StreamBank:
         t = self.trackers[r]
         if r not in self.followers:
             t.mapctx.map = tree_slice(self.m_all, r)
+            if self.bow_all is not None:
+                t.mapctx.kf_bow = self.bow_all[r]
         t._ts = tree_slice(self.ts_all, r)
         self._dirty[r] = False
 
     def sync_to_trackers(self):
-        """Write all device state back into the trackers (for trajectory
-        export, merging, serialization)."""
+        """Drain the in-flight chunk and write all device state back into
+        the trackers (for trajectory export, merging, serialization)."""
+        self.flush()
         for r in range(len(self.trackers)):
             self._sync_tracker(r)
             self.trackers[r]._sync_from_ts()
