@@ -17,7 +17,7 @@ Replaces the reference's ORBextractor (ORBextractor.cc:1043 operator(),
     first, weak regions still represented.
   * Orientation (intensity centroid, 31×31 circular mask) comes from
     full-image prefix-sum moment maps + per-keypoint point gathers, and the
-    256-bit rotated binary descriptor samples a 128-point pool directly
+    256-bit rotated binary descriptor samples a 256-point pool directly
     from the blurred level image — no per-keypoint patch gathers anywhere
     (random-access gathers are TPU's slowest primitive; see
     orientation_maps/_descriptors_at). The descriptor test pattern is this
@@ -105,11 +105,65 @@ def pattern_tests() -> np.ndarray:
     rng = np.random.default_rng(20240818)
     a = rng.integers(0, N_SAMPLE_POINTS, size=256)
     b = rng.integers(0, N_SAMPLE_POINTS, size=256)
-    clash = (a == b) | (
-        np.all(pattern_points()[a] == pattern_points()[b], axis=-1)
-    )
-    b = np.where(clash, (b + 17) % N_SAMPLE_POINTS, b)
+    pts = pattern_points()
+    # a test comparing a point against itself (same coordinates after
+    # clipping) yields a constant descriptor bit — walk b until every pair
+    # lands on distinct coordinates
+    for _ in range(N_SAMPLE_POINTS):
+        clash = (a == b) | np.all(pts[a] == pts[b], axis=-1)
+        if not clash.any():
+            break
+        b = np.where(clash, (b + 17) % N_SAMPLE_POINTS, b)
+    assert not ((a == b) | np.all(pts[a] == pts[b], axis=-1)).any()
     return np.stack([a, b], axis=-1).astype(np.int32)
+
+
+N_ANGLE_BINS = 30  # rBRIEF pattern rotation quantization (2*pi/30, the ORB
+# paper's lookup-table discretization; pattern points at radius <= 13 move
+# < 3 px per bin step, within the blur's tolerance)
+
+
+@functools.lru_cache(maxsize=1)
+def _ic_mask_vectors() -> tuple[np.ndarray, np.ndarray]:
+    """[PATCH*PATCH] dx and dy weight vectors of the circular IC mask,
+    embedded in the 41x41 descriptor patch (zero outside radius IC_R).
+    m10 = patch · dx_vec, m01 = patch · dy_vec — the per-keypoint moment
+    sums as ONE einsum over gathered patches (MXU work, no extra gathers)."""
+    dy, dx = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
+    halfw = ic_row_halfwidths()
+    inside = np.zeros_like(dx, bool)
+    for k, y in enumerate(range(-IC_R, IC_R + 1)):
+        w = int(halfw[k])
+        inside[y + PATCH_R, PATCH_R - w : PATCH_R + w + 1] = True
+    dxv = np.where(inside, dx, 0).astype(np.float32).reshape(-1)
+    dyv = np.where(inside, dy, 0).astype(np.float32).reshape(-1)
+    return dxv, dyv
+
+
+@functools.lru_cache(maxsize=1)
+def _descriptor_test_matrix() -> np.ndarray:
+    """[PATCH*PATCH, N_ANGLE_BINS*256] f32 in {-1, 0, +1}.
+
+    Column (b, t) holds +1 at the patch position of test t's second point
+    and -1 at its first point, both rotated by angle bin b — so
+    patches[K, 1681] @ D yields every test difference for every bin in ONE
+    matmul (the MXU replaces 256 random-access gathers per keypoint, the
+    dominant cost of the previous flat-image sampling), and the keypoint's
+    bin row is selected afterwards. A test whose rotated endpoints collide
+    after rounding contributes a constant-0 bit for that bin only (rare)."""
+    pts = pattern_points()  # [P,2]
+    tests = pattern_tests()  # [256,2]
+    D = np.zeros((PATCH * PATCH, N_ANGLE_BINS * 256), np.float32)
+    for b in range(N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(a), np.sin(a)
+        rx = np.clip(np.round(c * pts[:, 0] - s * pts[:, 1]), -PATCH_R, PATCH_R).astype(int)
+        ry = np.clip(np.round(s * pts[:, 0] + c * pts[:, 1]), -PATCH_R, PATCH_R).astype(int)
+        flat = (ry + PATCH_R) * PATCH + (rx + PATCH_R)  # [P]
+        col = b * 256 + np.arange(256)
+        D[flat[tests[:, 1]], col] += 1.0
+        D[flat[tests[:, 0]], col] -= 1.0
+    return D
 
 
 @functools.lru_cache(maxsize=1)
@@ -232,33 +286,50 @@ def orientation_maps(img: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     Patch-free reformulation of IC_Angle (ORBextractor.cc:77): the circular
     mask decomposes into per-row segments, so both moments are sums of
-    x-prefix-sum differences — ~4 cumsums + 62 shifted adds of image-sized
-    arrays, instead of a [K, 31, 31] per-keypoint patch gather (random-
-    access gathers are the slowest primitive on TPU; full-image passes
-    stream at HBM bandwidth). Exact same values as the masked-patch sum.
+    x-prefix-sum differences — a few cumsums + 62 shifted adds of
+    image-sized arrays, instead of a [K, 31, 31] per-keypoint patch gather
+    (random-access gathers are the slowest primitive on TPU; full-image
+    passes stream at HBM bandwidth).
+
+    Precision: the x-weighted prefix is computed per COLUMN TILE with a
+    locally-centered x coordinate, so its magnitude stays ~1e6 (f32 ulp
+    <= 0.125) instead of ~1e8+ for a whole KITTI-width row — without this
+    the segment differences cancel catastrophically and IC angles of
+    near-symmetric patches wander by degrees at large x.
     """
     H, W = img.shape
     pad = IC_R + 1
+    TB = 256  # column tile width
     ip = jnp.pad(img, ((pad, pad), (pad, pad)))
-    S = jnp.cumsum(ip, axis=1)  # prefix over x
-    xcoord = jnp.arange(ip.shape[1], dtype=img.dtype)[None, :]
-    T = jnp.cumsum(ip * xcoord, axis=1)  # prefix of x'*I
-    m10 = jnp.zeros((H, W), img.dtype)
-    m01 = jnp.zeros((H, W), img.dtype)
-    x0 = jnp.arange(W, dtype=img.dtype)[None, :] + pad
     halfw = ic_row_halfwidths()
-    for k, dy in enumerate(range(-IC_R, IC_R + 1)):
-        w = int(halfw[k])
-        rowS = S[pad + dy : pad + dy + H]
-        rowT = T[pad + dy : pad + dy + H]
-        # segment sum over x' in [x-w, x+w]: S[x+w] - S[x-w-1]
-        hi = slice(pad + w, pad + w + W)
-        lo = slice(pad - w - 1, pad - w - 1 + W)
-        rowsum = rowS[:, hi] - rowS[:, lo]
-        tsum = rowT[:, hi] - rowT[:, lo]
-        m10 = m10 + (tsum - x0 * rowsum)  # sum of dx * I over the segment
-        m01 = m01 + float(dy) * rowsum
-    return m10, m01
+    m10_tiles, m01_tiles = [], []
+    for t0 in range(0, W, TB):
+        tw = min(TB, W - t0)  # output columns [t0, t0+tw)
+        # tile slice of the padded image covering x' in [t0-pad, t0+tw+pad)
+        tile = ip[:, t0 : t0 + tw + 2 * pad]
+        S = jnp.cumsum(tile, axis=1)
+        c = pad + tw // 2  # local center
+        xloc = (jnp.arange(tile.shape[1], dtype=img.dtype) - c)[None, :]
+        T = jnp.cumsum(tile * xloc, axis=1)  # prefix of (x'-c)*I, bounded
+        m10 = jnp.zeros((H, tw), img.dtype)
+        m01 = jnp.zeros((H, tw), img.dtype)
+        x0 = jnp.arange(tw, dtype=img.dtype)[None, :] + pad - c
+        for k, dy in enumerate(range(-IC_R, IC_R + 1)):
+            w = int(halfw[k])
+            rowS = S[pad + dy : pad + dy + H]
+            rowT = T[pad + dy : pad + dy + H]
+            # segment sum over x' in [x-w, x+w]: S[x+w] - S[x-w-1]
+            hi = slice(pad + w, pad + w + tw)
+            lo = slice(pad - w - 1, pad - w - 1 + tw)
+            rowsum = rowS[:, hi] - rowS[:, lo]
+            tsum = rowT[:, hi] - rowT[:, lo]
+            m10 = m10 + (tsum - x0 * rowsum)  # sum of dx * I over the segment
+            m01 = m01 + float(dy) * rowsum
+        m10_tiles.append(m10)
+        m01_tiles.append(m01)
+    if len(m10_tiles) == 1:
+        return m10_tiles[0], m01_tiles[0]
+    return jnp.concatenate(m10_tiles, axis=1), jnp.concatenate(m01_tiles, axis=1)
 
 
 def _orientation_at(img: jax.Array, xy: jax.Array) -> jax.Array:
@@ -269,6 +340,50 @@ def _orientation_at(img: jax.Array, xy: jax.Array) -> jax.Array:
     g10 = jnp.take(m10.reshape(-1), idx)
     g01 = jnp.take(m01.reshape(-1), idx)
     return jnp.arctan2(g01, g10)
+
+
+def _orient_and_describe(img: jax.Array, blur: jax.Array,
+                         xy: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Patch-gather + MXU formulation of IC_Angle + computeOrbDescriptor
+    (ORBextractor.cc:77,108): gather ONE [K, 41, 41] patch per keypoint from
+    the raw and blurred level images (keypoints are >= EDGE from the
+    border, so no clipping), then
+
+      * orientation = atan2(patch_raw · dy_mask, patch_raw · dx_mask)
+        — identical values to the circular-mask moment sums;
+      * descriptor: patch_blur[K, 1681] @ D[1681, 30*256] evaluates every
+        binary test under every quantized pattern rotation in one matmul;
+        the keypoint's angle bin selects its 256 bits.
+
+    Random-access gathers are TPU's slowest primitive — this keeps them to
+    one patch per keypoint and moves the 256-point sampling onto the MXU.
+    Returns (angle [K], desc [K, 32] uint8)."""
+    H, W = img.shape
+    off = (
+        jnp.arange(-PATCH_R, PATCH_R + 1)[:, None] * W
+        + jnp.arange(-PATCH_R, PATCH_R + 1)[None, :]
+    ).reshape(-1)  # [1681]
+    base = xy[:, 1] * W + xy[:, 0]
+    idx = base[:, None] + off[None, :]  # [K, 1681]
+    p_raw = jnp.take(img.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
+    p_blur = jnp.take(blur.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
+
+    dxv, dyv = _ic_mask_vectors()
+    m10 = p_raw @ jnp.asarray(dxv)
+    m01 = p_raw @ jnp.asarray(dyv)
+    angle = jnp.arctan2(m01, m10)
+
+    D = jnp.asarray(_descriptor_test_matrix())  # [1681, 30*256]
+    diffs = (p_blur @ D).reshape(-1, N_ANGLE_BINS, 256)  # [K, 30, 256]
+    binf = jnp.round(angle / (2.0 * jnp.pi / N_ANGLE_BINS))
+    bin_ = jnp.mod(binf.astype(jnp.int32), N_ANGLE_BINS)
+    sel = jnp.take_along_axis(diffs, bin_[:, None, None], axis=1)[:, 0]
+    bits = (sel > 0).astype(jnp.uint8)  # test: v[first] < v[second]
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    desc = jnp.sum(
+        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
+    ).astype(jnp.uint8)
+    return angle, desc
 
 
 def _descriptors_at(blur: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
@@ -356,8 +471,7 @@ def make_extractor(orb: OrbConfig, cam: CameraConfig, n_features: int | None = N
                 score, n_l, float(orb.min_th_fast), orb.cell_size
             )
             blur = gaussian_blur7(img)
-            ang = _orientation_at(img, xy)
-            desc = _descriptors_at(blur, xy, ang)
+            ang, desc = _orient_and_describe(img, blur, xy)
             scale = orb.scale_factor**l
             xs.append(xy.astype(jnp.float32) * scale)
             resps.append(resp)

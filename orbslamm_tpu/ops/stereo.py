@@ -67,7 +67,7 @@ def match_stereo(
     # the runner-up clearly AND be its right feature's mutual best
     M = Dm.shape[1]
     second = jnp.min(
-        Dm + jax.nn.one_hot(j, M, dtype=Dm.dtype) * jnp.inf, axis=1
+        jnp.where(jax.nn.one_hot(j, M, dtype=bool), jnp.inf, Dm), axis=1
     )
     ok &= best <= 0.85 * jnp.where(jnp.isfinite(second), second, 1e9)
     rev = jnp.argmin(Dm, axis=0)
