@@ -97,11 +97,19 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
         r1 = trk.track_motion_model(
             cfg, m, feats, T_pred, K, ts.last_feats, ts.last_lm, T_last=ts.last_T
         )
-        # fallback: too few motion inliers → retry local map from last pose
+        # fallback: too few motion inliers → retry local map from the last
+        # pose with WIDE search windows — the TrackReferenceKeyFrame analog
+        # (Tracking.cc:296-305,807): the reference BoW-matches the reference
+        # keyframe because windowed projection fails under large motion; the
+        # pool matcher with 8x windows is the batched equivalent (the map's
+        # frustum-visible set is a superset of the reference KF's landmarks)
         weak = r1.n_inliers < cfg.tracking.min_inliers_track
         T_start = jnp.where(weak, ts.last_T, r1.T_cw)
         feat_lm0 = jnp.where(weak, jnp.full_like(r1.feat_lm, -1), r1.feat_lm)
-        r2, m = trk.track_local_map(cfg, m, feats, T_start, K, feat_lm0)
+        r2, m = trk.track_local_map(
+            cfg, m, feats, T_start, K, feat_lm0,
+            radius_scale=jnp.where(weak, 8.0, 1.0),
+        )
         ok = (r2.n_inliers >= cfg.tracking.min_inliers_local_map) & (
             r2.n_inliers.astype(jnp.float32)
             >= cfg.tracking.min_track_inlier_ratio * r2.n_matches.astype(jnp.float32)

@@ -273,16 +273,32 @@ def correct_loop(
     cov_j = (top % K).astype(jnp.int32)
     cov_ok = flat[top] >= cfg.loop.essential_graph_min_weight
 
-    edge_i = jnp.concatenate([span_i, cov_i, slot_a[None]])
-    edge_j = jnp.concatenate([span_j, cov_j, slot_b[None]])
-    edge_ok = jnp.concatenate([span_ok, cov_ok, jnp.ones(1, bool)])
+    # persist the new loop edge (KeyFrame::AddLoopEdge, LoopClosing.cc:577)
+    # and include EVERY recorded past loop edge in this essential graph
+    # (Optimizer.cc:1126-1139) so this correction cannot re-break a
+    # previously closed seam
+    le = m.loop_edges
+    free_row = jnp.argmax(le[:, 0] < 0).astype(jnp.int32)
+    le = le.at[free_row].set(jnp.stack([slot_a, slot_b]).astype(jnp.int32))
+    past_ok = (le[:, 0] >= 0) & (
+        jnp.arange(le.shape[0]) != free_row
+    ) & m.kf_valid[jnp.maximum(le[:, 0], 0)] & m.kf_valid[jnp.maximum(le[:, 1], 0)]
+    past_i = jnp.maximum(le[:, 0], 0)
+    past_j = jnp.maximum(le[:, 1], 0)
+
+    edge_i = jnp.concatenate([span_i, cov_i, past_i, slot_a[None]])
+    edge_j = jnp.concatenate([span_j, cov_j, past_j, slot_b[None]])
+    edge_ok = jnp.concatenate([span_ok, cov_ok, past_ok, jnp.ones(1, bool)])
     # measurements from OLD poses except the loop edge (measured Sim3)
     M_old = jax.vmap(lambda i, j: geo.sim3_compose(S_old[i], geo.sim3_inv(S_old[j])))(
         edge_i, edge_j
     )
     M_loop = geo.sim3_compose(S_aw_corr, geo.sim3_inv(S_old[slot_b]))
     M = M_old.at[-1].set(M_loop)
+    E = le.shape[0]
     weight = jnp.ones(edge_i.shape[0]).at[-1].set(5.0)
+    # past loop edges keep elevated weight: they are verified constraints
+    weight = weight.at[-(E + 1) : -1].set(jnp.where(past_ok, 3.0, 1.0))
 
     prob = ba.PoseGraphProblem(
         S_iw=S_init,
@@ -321,7 +337,8 @@ def correct_loop(
     lm_dmin = jnp.where(m.lm_valid, m.lm_dist_min * s_c, m.lm_dist_min)
     lm_dmax = jnp.where(m.lm_valid, m.lm_dist_max * s_c, m.lm_dist_max)
     return m._replace(kf_pose=kf_pose, lm_pos=lm_pos, lm_normal=lm_normal,
-                      lm_dist_min=lm_dmin, lm_dist_max=lm_dmax)
+                      lm_dist_min=lm_dmin, lm_dist_max=lm_dmax,
+                      loop_edges=le)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iters", "cg_iters"))

@@ -55,6 +55,12 @@ class MapState(NamedTuple):
     lm_first_kf: jax.Array  # [L] int32 keyframe that created it (culling age)
     lm_visible: jax.Array  # [L] int32 — times predicted visible (found ratio)
     lm_found: jax.Array  # [L] int32 — times actually matched
+    # --- loop edges [E,2] int32, -1 = empty slot ---
+    # persistent record of closed loops (KeyFrame::AddLoopEdge,
+    # LoopClosing.cc:577-579): EVERY past loop edge re-enters every
+    # essential-graph optimization (Optimizer.cc:1126-1139) so later
+    # corrections cannot re-break earlier seams
+    loop_edges: jax.Array
     # --- counters (device scalars) ---
     n_kf: jax.Array  # int32 — high-water mark of allocated KF slots
     n_lm: jax.Array  # int32
@@ -89,6 +95,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         lm_first_kf=jnp.zeros(L, i32),
         lm_visible=jnp.zeros(L, i32),
         lm_found=jnp.zeros(L, i32),
+        loop_edges=jnp.full((cfg.capacity.max_loop_edges, 2), -1, i32),
         n_kf=jnp.zeros((), i32),
         n_lm=jnp.zeros((), i32),
     )

@@ -124,6 +124,20 @@ def merge_maps(
         kf_ur=mA.kf_ur.at[dest].set(mB.kf_ur, mode="drop"),
         n_kf=jnp.maximum(mA.n_kf, n_kf_A + mB.n_kf),
     )
+    # carry B's recorded loop edges (shifted into A's slot space) into A's
+    # free rows — past seams must keep constraining future essential graphs
+    # (KeyFrame::AddLoopEdge survives the merge, MultiMapper.cc:648-655)
+    E = mA.loop_edges.shape[0]
+    a_has = mA.loop_edges[:, 0] >= 0
+    a_sorted = mA.loop_edges[jnp.argsort(~a_has, stable=True)]  # used first
+    n_used = a_has.sum()
+    b_has = mB.loop_edges[:, 0] >= 0
+    b_sorted = mB.loop_edges[jnp.argsort(~b_has, stable=True)]
+    b_sorted = jnp.where(b_sorted[:, 0:1] >= 0, b_sorted + n_kf_A, -1)
+    rows = jnp.where(b_sorted[:, 0] >= 0, n_used + jnp.arange(E), 2 * E)
+    mA = mA._replace(
+        loop_edges=a_sorted.at[rows].set(b_sorted, mode="drop")
+    )
     return MergeResult(map=mA, lm_remap=lm_remap, S_AB=S_AB)
 
 
@@ -136,6 +150,11 @@ class MultiMapper:
         self.maps: list[MapContext] = []
         self.robots: list[RobotTracker] = []
         self.voc: bow.Vocabulary | None = None
+        if cfg.vocabulary_path:
+            # pretrained vocabulary file (reference ORBvoc.txt): shared by
+            # every map from the start — no lazy training, no with_bow
+            # recompile mid-deployment
+            self.voc = MapContext.load_vocabulary_file(cfg)
         self._key = jax.random.key(1)
         self.merges: list[tuple] = []
         # per-map newest→oldest rescan cursor (the MultiMapper.cc:124 walk,

@@ -113,7 +113,14 @@ class MapContext:
         MapContext._next_id += 1
         self.voc = voc
         self.kf_bow = None
-        if voc is not None:
+        if voc is None and cfg.vocabulary_path:
+            # a file-backed vocabulary (the reference's mandatory pretrained
+            # ORBvoc.txt, System.cc:167-168) is available from frame 0 —
+            # loading it eagerly means every chunk program compiles with_bow
+            # ONCE instead of recompiling when a lazily-trained vocabulary
+            # appears mid-run
+            self.ensure_vocabulary()
+        elif voc is not None:
             self._alloc_bow()
         self.last_loop_kf = -(10**9)
         self.loops_closed: list = []
@@ -166,6 +173,22 @@ class MapContext:
     # -- BoW database -----------------------------------------------------
     _voc_file_cache: dict = {}
 
+    @staticmethod
+    def load_vocabulary_file(cfg: SlamConfig) -> bow.Vocabulary:
+        """Load (and cache) the configured pretrained vocabulary file —
+        DBoW2 ORBvoc.txt text format or this framework's .npz."""
+        path = str(cfg.vocabulary_path)
+        voc = MapContext._voc_file_cache.get(path)
+        if voc is None:
+            if path.endswith(".npz"):
+                voc = bow.load_vocabulary_npz(path)
+            else:
+                voc = bow.load_orb_vocabulary_text(
+                    path, max_depth=cfg.loop.vocab_depth + 1
+                )
+            MapContext._voc_file_cache[path] = voc
+        return voc
+
     def ensure_vocabulary(self) -> bool:
         """Provide the vocabulary: load the pretrained DBoW2 file when
         configured (the reference's mandatory ORBvoc.txt,
@@ -173,14 +196,7 @@ class MapContext:
         if self.voc is not None:
             return True
         if self.cfg.vocabulary_path:
-            path = str(self.cfg.vocabulary_path)
-            voc = MapContext._voc_file_cache.get(path)
-            if voc is None:
-                voc = bow.load_orb_vocabulary_text(
-                    path, max_depth=self.cfg.loop.vocab_depth + 1
-                )
-                MapContext._voc_file_cache[path] = voc
-            self.voc = voc
+            self.voc = MapContext.load_vocabulary_file(self.cfg)
         else:
             if self.n_kf < 4:
                 return False
@@ -455,6 +471,8 @@ class RobotTracker:
             peak_inliers=jnp.int32(self.peak_inliers_since_kf),
             prev_inliers=jnp.int32(self.prev_inliers),
             n_kf=jnp.int32(self.mapctx.n_kf),
+            # explicit array (not the None default): bank slices must keep a
+            # stable pytree structure across reset_stream re-adoption
             lost=jnp.asarray(False),
             # carried observation indicator: rebuilt ONLY here (host events —
             # init, reloc, loop correction, merge); the fused chunk maintains

@@ -127,9 +127,17 @@ def track_local_map(
     K: jax.Array,
     feat_lm: jax.Array,
     n_candidates: int = 4096,
+    radius_scale: jax.Array | float = 1.0,
 ) -> TrackResult:
     """Match unassociated features against the frustum-visible landmark pool,
-    then run the final pose optimization over ALL associations."""
+    then run the final pose optimization over ALL associations.
+
+    ``radius_scale`` widens the projection search windows (traced scalar):
+    the fused step's recovery retry passes >1 when the motion model failed,
+    the batched analog of the reference's TrackReferenceKeyFrame BoW
+    fallback (Tracking.cc:296-305,807) — appearance matching with loose
+    geometry against the map the frame should see, before declaring loss.
+    """
     # project every landmark (the pool is the local map)
     pc = geo.transform_points(T_cw, m.lm_pos)
     uv = geo.project(K, pc)
@@ -181,7 +189,7 @@ def track_local_map(
         cfg.orb.n_levels - 1,
     )
     radius_base = jnp.where(cos_view[cand] > 0.998, 2.5, 4.0)
-    radius = radius_base * cfg.orb.scale_factor ** pred_level
+    radius = radius_base * cfg.orb.scale_factor ** pred_level * radius_scale
 
     free = feats.valid & (feat_lm < 0)
     # level band: feat.level - pred_level in [-1, 2]  ⇔  lb - la in [-2, 1]

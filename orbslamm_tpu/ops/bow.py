@@ -167,6 +167,35 @@ def build_vocabulary(
     return Vocabulary(nodes=nodes, branching=branching, depth=depth, idf=idf)
 
 
+def save_vocabulary_npz(voc: Vocabulary, path) -> None:
+    """Persist a trained vocabulary (the framework's own compact analog of
+    the reference's shipped ORBvoc.txt data file, README.md build.sh:28-31)."""
+    np.savez_compressed(
+        path,
+        nodes=np.asarray(voc.nodes),
+        idf=np.asarray(voc.idf),
+        branching=np.int32(voc.branching),
+        depth=np.int32(voc.depth),
+        node_valid=(
+            np.asarray(voc.node_valid)
+            if voc.node_valid is not None
+            else np.zeros(0, bool)
+        ),
+    )
+
+
+def load_vocabulary_npz(path) -> Vocabulary:
+    z = np.load(path)
+    nv = z["node_valid"]
+    return Vocabulary(
+        nodes=jnp.asarray(z["nodes"]),
+        branching=int(z["branching"]),
+        depth=int(z["depth"]),
+        idf=jnp.asarray(z["idf"]),
+        node_valid=jnp.asarray(nv) if nv.size else None,
+    )
+
+
 def load_orb_vocabulary_text(
     path, max_depth: int = 4
 ) -> Vocabulary:

@@ -103,7 +103,7 @@ def map_kf_shardings(mesh: Mesh, axis: str = "d"):
         kf_feat_valid=ks, kf_obs_lm=ks, kf_ur=ks,
         lm_pos=rs, lm_valid=rs, lm_desc=rs, lm_normal=rs, lm_dist_min=rs,
         lm_dist_max=rs, lm_ref_kf=rs, lm_first_kf=rs, lm_visible=rs,
-        lm_found=rs, n_kf=rs, n_lm=rs,
+        lm_found=rs, loop_edges=rs, n_kf=rs, n_lm=rs,
     )
 
 
@@ -113,14 +113,19 @@ def shard_map_kf_blocks(m, mesh: Mesh, axis: str = "d"):
     return jax.tree.map(jax.device_put, m, spec)
 
 
-def make_kf_sharded_gba(mesh: Mesh, cfg, iters: int = 8, axis: str = "d"):
+def make_kf_sharded_gba(mesh: Mesh, cfg, iters: int = 8, axis: str = "d",
+                        cg_iters: int = 30):
     """Jitted global BA over a keyframe-block-sharded MapState.
 
-    The full map is the "window" of ops/ba.bundle_adjust_window: camera
-    blocks (Hcc, gc) reduce locally per keyframe shard; the per-point
-    blocks (Hpp, gp, W) are psum-ed across shards by GSPMD; the reduced
-    [6K, 6K] camera solve runs replicated (small). Replaces the reference's
-    single-threaded g2o GlobalBundleAdjustemnt (Optimizer.cc:40/59) with a
+    Uses the MATRIX-FREE CG solver (ops/ba.bundle_adjust_cg) on the map's
+    kf-major edge list: the [K*M] edge arrays are reshapes of kf-sharded
+    [K, M] arrays, so every per-edge residual/Jacobian and every camera
+    reduction stays LOCAL to a keyframe shard, and only the small per-point
+    blocks ([P,3,3] Hpp, [P,3] CG vectors) cross shards as psums — no
+    [W,P] incidence tensor, no dense [W,V] Schur coupling (the previous
+    formulation all-gathered a [W,P,6,3] tensor per LM iteration, which is
+    why it scaled NEGATIVELY). Replaces the reference's single-threaded
+    g2o GlobalBundleAdjustemnt (Optimizer.cc:40/59) with a
     collective-parallel solve whose work scales with keyframes-per-device.
     Returns MapState -> MapState (poses + landmark positions updated).
     """
@@ -136,29 +141,31 @@ def make_kf_sharded_gba(mesh: Mesh, cfg, iters: int = 8, axis: str = "d"):
         feat_ok = m.kf_feat_valid & (obs_lm >= 0) & m.kf_valid[:, None]
         lm_idx = jnp.maximum(obs_lm, 0)
         feat_ok &= m.lm_valid[lm_idx]
+        obs_cam = jnp.broadcast_to(jnp.arange(K)[:, None], (K, Mfeat))
         sigma2 = (
             cfg.tracking.pixel_noise
             * cfg.orb.scale_factor ** m.kf_level.astype(jnp.float32)
         ) ** 2
-        res = ba_ops.bundle_adjust_window(
+        prob = ba_ops.BAProblem(
             T_cw=m.kf_pose,
             K=m.kf_K,
             cam_valid=m.kf_valid,
             cam_fixed=m.kf_fixed,
             points=m.lm_pos,
             point_valid=m.lm_valid,
-            obs_point=lm_idx.astype(jnp.int32),
-            obs_uv=m.kf_xy,
-            obs_sigma2=sigma2,
-            obs_valid=feat_ok,
-            iters=iters,
-            obs_ur=m.kf_ur if cfg.camera.bf > 0 else None,
+            obs_cam=obs_cam.reshape(-1).astype(jnp.int32),
+            obs_point=lm_idx.reshape(-1).astype(jnp.int32),
+            obs_uv=m.kf_xy.reshape(-1, 2),
+            obs_sigma2=sigma2.reshape(-1),
+            obs_valid=feat_ok.reshape(-1),
+            obs_ur=m.kf_ur.reshape(-1) if cfg.camera.bf > 0 else None,
             bf=(
                 jnp.full((K,), cfg.camera.bf, jnp.float32)
                 if cfg.camera.bf > 0
                 else None
             ),
         )
+        res = ba_ops.bundle_adjust_cg(prob, iters=iters, cg_iters=cg_iters)
         return m._replace(
             kf_pose=jnp.where(m.kf_valid[:, None, None], res.T_cw, m.kf_pose),
             lm_pos=res.points,

@@ -15,6 +15,21 @@ robot axis:
     merge scans) run per robot off the fetched summaries, exactly like the
     single-stream chunk path — rare, control-heavy, host-coordinated.
 
+Pipelining and epoch safety: chunk k+1 is dispatched before chunk k's
+summaries are fetched (device never idles), EXCEPT while any owner/follower
+pairing is active or a global-BA slice schedule is pending — those phases
+refresh bank slices at every chunk boundary, and refreshing under an
+in-flight chunk discards its results. In the pipelined phase, rare host
+events are reconciled explicitly:
+
+  * same-map loop corrections REBASE the in-flight chunk (device state and
+    its pending record poses ride the corrected keyframe — the reference's
+    Tcr reference-chain trick, System.cc:470-499);
+  * merges bump the affected robots' GENERATION, which marks the in-flight
+    chunk stale: its records are emitted under the pre-merge map id, but no
+    state machine / keyframe events run off it (the single-stream
+    _finish_chunk stale guard, applied per robot).
+
 Constraints: all streams must share the image size and ORB config (one
 compiled extractor); per-robot calibration K MAY differ (it is a vmapped
 argument — the reference's KITTI 00 + 07 demo uses two settings files).
@@ -100,6 +115,13 @@ class StreamBank:
     ``bank.sync_to_trackers()`` writes device state back into the trackers
     for trajectory export / merging.
 
+    Loss handling: a robot that loses tracking keeps a frozen slice in the
+    bank (the chunk body's latched ``lost`` flag makes its frames no-ops)
+    while the HOST per-frame path takes over its images — the ``on_lost``
+    hook (wire it to MultiMapper new-map-on-loss, Tracking.cc:330-366)
+    decides recovery, and once the robot is OK again its fresh state is
+    re-adopted into the bank.
+
     Cross-robot merges (the KITTI 00+07 production configuration,
     MultiMapper.cc:451-665): when two in-bank robots end up on ONE merged
     MapContext, the bank switches to an OWNER + FOLLOWER model — the robot
@@ -110,7 +132,8 @@ class StreamBank:
     both slices are refreshed from the authoritative state. Both robots
     therefore keep tracking AND contributing keyframes to the one shared
     map, with reconciliation at chunk granularity (the same delay the
-    reference's keyframe queues introduce)."""
+    reference's keyframe queues introduce). While pairings are active the
+    bank runs chunks synchronously (no in-flight chunk across a refresh)."""
 
     def __init__(self, cfg: SlamConfig, trackers, mesh=None, chunk_size: int = 8):
         self.cfg = cfg
@@ -142,6 +165,14 @@ class StreamBank:
         # trackers' host-side map references go stale while the bank runs;
         # mark them so accidental per-frame stepping is caught
         self._dirty = [False] * len(self.trackers)
+        # per-robot generation: bumped by any host-side slice overwrite
+        # (merge adoption, shared refresh, stream reset). An in-flight chunk
+        # dispatched under an older generation is STALE for that robot.
+        self._gens = [0] * len(self.trackers)
+        # per-robot pending pose rebase A (np [4,4]): applied to the next
+        # finished chunk's record poses after a loop correction moved the
+        # map under an in-flight chunk (T_cw' = T_cw @ A)
+        self._rebase: dict[int, np.ndarray] = {}
         # follower slot -> owner slot for robots sharing a merged MapContext
         self.followers: dict[int, int] = {}
         # owner slot -> lm_valid snapshot at the last shared refresh
@@ -150,25 +181,64 @@ class StreamBank:
         # copy slots AT or ABOVE this replay (earlier slots are either the
         # merge transplant itself or already-replayed keyframes)
         self._follower_base_nkf: dict[int, int] = {}
+        # optional hook called ONCE when a robot transitions to LOST
+        # (wire to MultiMapper._handle_loss for new-map-on-loss semantics)
+        self.on_lost = None
 
     @property
     def n_streams(self) -> int:
         return len(self.trackers)
 
+    def _needs_sync_mode(self) -> bool:
+        """True while chunk boundaries mutate bank slices (follower replay /
+        shared refresh / GBA slices) — an in-flight chunk would be
+        discarded by those writes, so the bank runs unpipelined."""
+        if self.followers:
+            return True
+        return any(t.mapctx.gba_remaining > 0 for t in self.trackers)
+
     def process_chunk(self, images, timestamps):
-        """Advance every stream by one chunk in ONE PIPELINED dispatch.
+        """Advance every stream by one chunk.
 
         images: [R, C, H, W] uint8 (numpy or device), timestamps: [R, C].
-        Chunk k+1 is dispatched before chunk k's summaries are fetched, so
-        host work and transfers overlap device compute (the single-stream
-        path's double-buffering). Returns the PREVIOUS chunk's per-robot
-        FrameRecord lists ([] on the first call); ``flush()`` /
-        ``sync_to_trackers`` drains the in-flight chunk."""
-        tok = self._dispatch(images, timestamps)
-        out = []
-        if self._pending is not None:
-            out = self._finish(self._pending)
-        self._pending = tok
+        Robots that are not OK are advanced on the HOST per-frame path
+        (initialization / loss recovery) and rejoin the bank when OK.
+        Pipelined phase: chunk k+1 is dispatched before chunk k's summaries
+        are fetched; returns the PREVIOUS chunk's per-robot FrameRecord
+        lists ([] on the first call). Synchronous phase (active pairings /
+        pending GBA): returns the records available after this chunk.
+        ``flush()`` / ``sync_to_trackers`` drains any in-flight chunk."""
+        from orbslamm_tpu.models.system import TrackingState
+
+        C = len(timestamps[0])
+        # host catch-up for robots outside the bank (init / post-loss):
+        # their bank slice is frozen (latched lost flag), the host path
+        # owns their frames until they are OK again
+        host_handled = set()
+        for r, t in enumerate(self.trackers):
+            if t.state != TrackingState.OK:
+                host_handled.add(r)
+                for j in range(C):
+                    t.process_frame(np.asarray(images[r][j]),
+                                    float(timestamps[r][j]))
+                    if t.state == TrackingState.LOST and self.on_lost is not None:
+                        self.on_lost(t)
+        if self._needs_sync_mode():
+            out = self.flush()
+            tok = self._dispatch(images, timestamps, host_handled)
+            out += self._finish(tok)
+        else:
+            tok = self._dispatch(images, timestamps, host_handled)
+            out = []
+            if self._pending is not None:
+                out = self._finish(self._pending)
+            self._pending = tok
+        # robots that recovered on the host path rejoin the bank AFTER the
+        # dispatch consumed their old frozen slice (their images this chunk
+        # were host-processed; re-adopting earlier would double-track them)
+        for r in host_handled:
+            if self.trackers[r].state == TrackingState.OK:
+                self.reset_stream(r)
         return out
 
     def flush(self):
@@ -185,10 +255,15 @@ class StreamBank:
             v is vocs[0] for v in vocs
         ) and all(t.mapctx.kf_bow is not None for t in self.trackers)
 
-    def _dispatch(self, images, timestamps):
+    def _dispatch(self, images, timestamps, host_handled=frozenset()):
         R, C = len(self.trackers), len(timestamps[0])
         want_bow = self._want_bow()
         if self._step is None or self._step_bow != want_bow:
+            # program rebuild mid-run (vocabulary appeared): drain any
+            # in-flight chunk first — bow_all is restacked from tracker
+            # state, which must not race an unfetched dispatch
+            if self._pending is not None:
+                self.flush()
             self._step = make_multistream_chunk_step(
                 self.cfg, self._extract, with_bow=want_bow
             )
@@ -198,12 +273,16 @@ class StreamBank:
                 if want_bow else None
             )
         imgs = jnp.asarray(images)
-        fid0s = [t.frame_id + 1 for t in self.trackers]
+        fid0s = []
+        for r, t in enumerate(self.trackers):
+            if r in host_handled:
+                fid0s.append(t.frame_id + 1)  # already advanced by host path
+            else:
+                fid0s.append(t.frame_id + 1)
+                t.frame_id += C
         fids = jnp.stack([
             jnp.arange(f0, f0 + C, dtype=jnp.int32) for f0 in fid0s
         ])
-        for t in self.trackers:
-            t.frame_id += C
         stamps = jnp.asarray(np.asarray(timestamps, np.float32))
         allow = jnp.asarray(
             [not t.localization_only for t in self.trackers]
@@ -223,6 +302,9 @@ class StreamBank:
             "timestamps": np.asarray(timestamps, np.float64),
             "fid0s": fid0s,
             "want_bow": want_bow,
+            "gens": list(self._gens),
+            "map_ids": [t.mapctx.map_id for t in self.trackers],
+            "host_handled": set(host_handled),
         }
 
     def _finish(self, token):
@@ -240,36 +322,57 @@ class StreamBank:
         all_recs = []
         kfs_per_robot: list[list[tuple[int, int]]] = []  # (slot, j)
         any_kfs = False
+        newly_lost: list[int] = []
         for r, t in enumerate(self.trackers):
-            mc = t.mapctx
             recs = []
             new_kfs = []
+            if r in token["host_handled"]:
+                # this robot's frames were host-processed (records already
+                # appended there); its frozen slice produced no-ops
+                kfs_per_robot.append(new_kfs)
+                all_recs.append(recs)
+                continue
+            stale = token["gens"][r] != self._gens[r]
+            A = self._rebase.pop(r, None) if not stale else None
+            mc = t.mapctx
             for j in range(C):
                 ok = bool(s.tracking_ok[r, j])
                 n_inl = int(s.n_inliers[r, j]) if ok else 0
-                if ok:
-                    t.T_cw = np.asarray(s.T_cw[r, j])
+                T_rec = np.asarray(s.T_cw[r, j]) if ok else np.asarray(t.T_cw)
+                if A is not None and ok:
+                    # a loop correction landed after this chunk was
+                    # dispatched: record poses ride the corrected keyframe
+                    T_rec = T_rec @ A
+                if ok and not stale:
+                    t.T_cw = T_rec
                     if bool(s.new_kf[r, j]):
                         slot = int(s.kf_slot[r, j])
                         if r not in self.followers:
                             mc.n_kf = max(mc.n_kf, slot + 1)
                         new_kfs.append((slot, j))
                         tr.incr("keyframes_inserted")
-                else:
+                elif not ok and not stale:
+                    if t.state != TrackingState.LOST:
+                        newly_lost.append(r)
                     t.state = TrackingState.LOST
                 rec = FrameRecord(
                     frame_id=token["fid0s"][r] + j,
                     timestamp=float(timestamps[r][j]),
-                    T_cw=np.asarray(t.T_cw),
-                    state=t.state.name,
+                    T_cw=T_rec,
+                    state=("OK" if ok else "LOST") if stale else t.state.name,
                     n_inliers=n_inl,
-                    map_id=mc.map_id,
+                    # stale records belong to the map they were dispatched
+                    # under (a merge may have moved the robot since)
+                    map_id=token["map_ids"][r] if stale else mc.map_id,
                 )
                 t.frames.append(rec)
                 recs.append(rec)
-            self._dirty[r] = self._dirty[r] or bool(new_kfs)
+            if not stale:
+                self._dirty[r] = self._dirty[r] or bool(new_kfs)
+                any_kfs = any_kfs or bool(new_kfs)
+            else:
+                new_kfs = []
             kfs_per_robot.append(new_kfs)
-            any_kfs = any_kfs or bool(new_kfs)
             all_recs.append(recs)
 
         if any_kfs:
@@ -301,36 +404,23 @@ class StreamBank:
                 else:
                     mc.update_bow_rows([slot for slot, _ in new_kfs])
                     pre = mc.loop_scan([slot for slot, _ in new_kfs])
-                changed = False
+                corrections = []
+                merged = False
                 for slot, _j in new_kfs:
                     t._key, sub = jax.random.split(t._key)
+                    pose_before = mc.map.kf_pose[slot]  # device ref
                     if mc.try_close_loop(slot, sub, precomputed=pre.get(slot)):
-                        # loop correction moved the map: restart the motion
-                        # model at the corrected keyframe (single-stream
-                        # _track_fused does the same)
-                        changed = True
-                        t._sync_from_ts()
-                        t.T_cw = t.mapctx.map.kf_pose[slot]
-                        t.last_T = t.T_cw
-                        t.velocity = jnp.eye(4)
+                        corrections.append((np.asarray(pose_before),
+                                            np.asarray(mc.map.kf_pose[slot])))
                     if t.on_keyframe is not None:
                         t.on_keyframe(t, slot)
                         if t.mapctx is not mc:
-                            changed = True  # merged into another map
+                            merged = True  # merged into another map
                             break
-                if changed and t.mapctx is not mc:
+                if merged:
                     self._adopt_merge(r)
-                elif changed and r in [ow for ow in self.followers.values()]:
-                    # a loop correction moved the shared map: propagate the
-                    # corrected authoritative state to every follower slice
-                    self._refresh_shared(r)
-                elif changed:
-                    # write the corrected map back into the stacked state
-                    self.m_all = tree_set(self.m_all, r, t.mapctx.map)
-                    self.ts_all = tree_set(
-                        self.ts_all, r,
-                        t._make_ts() if t._ts is None else t._ts,
-                    )
+                elif corrections:
+                    self._apply_loop_corrections(r, corrections)
         # chunk-epoch reconciliation of established followers
         for r, o in list(self.followers.items()):
             slots = [s_ for s_, _j in kfs_per_robot[r]
@@ -351,7 +441,68 @@ class StreamBank:
                         self._refresh_shared(r)
                     else:
                         self.m_all = tree_set(self.m_all, r, mc.map)
+        # loss hooks AFTER all state is consistent (the hook may switch maps)
+        if self.on_lost is not None:
+            for r in newly_lost:
+                t = self.trackers[r]
+                if t.state == TrackingState.LOST:
+                    if r in self.followers:
+                        self.followers.pop(r, None)
+                        self._follower_base_nkf.pop(r, None)
+                    elif r in set(self.followers.values()):
+                        self._promote_follower_owner(r)
+                    self.on_lost(t)
         return all_recs
+
+    def _apply_loop_corrections(self, r: int, corrections):
+        """A same-map loop correction landed on robot ``r``'s map during
+        this finish. The corrected map replaces the bank slice; the device
+        TrackState (and, in pipelined mode, the in-flight chunk's pending
+        record poses) are REBASED through the corrected keyframe —
+        rebuild-from-scratch would discard the slice's tracking context."""
+        t = self.trackers[r]
+        mc = t.mapctx
+        if any(ow == r for ow in self.followers.values()):
+            # owner of a shared map: full refresh propagates the corrected
+            # state to every member (sync mode — nothing in flight)
+            self._refresh_shared(r, rebase=corrections)
+            return
+        ts_r = tree_slice(self.ts_all, r)
+        A = np.eye(4)
+        for T_old, T_new in corrections:
+            ts_r = fused.rebase_track_state(
+                ts_r, jnp.asarray(T_old), jnp.asarray(T_new)
+            )
+            A = A @ np.linalg.inv(T_old) @ T_new
+        # correct_loop fused landmarks → the carried indicator is stale
+        ts_r = ts_r._replace(obs_ind=ms.lm_indicator(mc.map))
+        self.ts_all = tree_set(self.ts_all, r, ts_r)
+        self.m_all = tree_set(self.m_all, r, mc.map)
+        t.T_cw = np.asarray(np.asarray(t.T_cw) @ A)
+        t.last_T = jnp.asarray(t.T_cw)
+        if self._pending is not None:
+            self._rebase[r] = self._rebase.get(r, np.eye(4)) @ A
+
+    def _promote_follower_owner(self, o: int):
+        """Owner ``o`` is leaving the shared map (loss): hand the
+        authoritative role to its first follower."""
+        members = [r for r, ow in self.followers.items() if ow == o]
+        if not members:
+            return
+        # materialize the authoritative map from the owner's slice first
+        self._sync_tracker(o)
+        new_o = members[0]
+        self.followers.pop(new_o)
+        self._follower_base_nkf.pop(new_o, None)
+        for r in members[1:]:
+            self.followers[r] = new_o
+        if o in self._shared_lm_valid:
+            self._shared_lm_valid[new_o] = self._shared_lm_valid.pop(o)
+        mc = self.trackers[o].mapctx
+        self.m_all = tree_set(self.m_all, new_o, mc.map)
+        self._gens[new_o] += 1
+        get_tracer().event("bank_owner_promoted", old_owner=o,
+                           new_owner=new_o, map_id=mc.map_id)
 
     # -- cross-robot merge support ----------------------------------------
     def _adopt_merge(self, r: int):
@@ -370,19 +521,24 @@ class StreamBank:
         if owner is None:
             self.m_all = tree_set(self.m_all, r, t.mapctx.map)
             self.ts_all = tree_set(self.ts_all, r, t._ts)
+            self._gens[r] += 1
             return
         self.followers[r] = owner
         get_tracer().event("bank_follower", follower=r, owner=owner,
                            map_id=t.mapctx.map_id)
         self._refresh_shared(owner, fresh={r})
 
-    def _refresh_shared(self, o: int, fresh: set[int] = frozenset()):
+    def _refresh_shared(self, o: int, fresh: set[int] = frozenset(),
+                        rebase=None):
         """Write the authoritative merged map into the owner's and every
         follower's slice; rebuild their TrackStates against it.
 
         Members not in ``fresh`` take their TrackState from the bank (the
         freshest device copy); ``fresh`` members keep their just-rebuilt
-        host state (a newly adopted follower's Sim3-rebased pose)."""
+        host state (a newly adopted follower's Sim3-rebased pose).
+        ``rebase``: list of (T_kf_old, T_kf_new) corrections to thread
+        through every member's TrackState (a loop correction moved the
+        shared map under the cameras)."""
         mc = self.trackers[o].mapctx
         ind = ms.lm_indicator(mc.map)
         members = [o] + [r for r, ow in self.followers.items() if ow == o]
@@ -391,6 +547,12 @@ class StreamBank:
             t = self.trackers[r]
             if r not in fresh:
                 t._ts = tree_slice(self.ts_all, r)
+                if rebase:
+                    for T_old, T_new in rebase:
+                        t._ts = fused.rebase_track_state(
+                            t._ts, jnp.asarray(T_old), jnp.asarray(T_new)
+                        )
+                    t.T_cw = np.asarray(t._ts.T_cw)
             if t._ts is None:
                 t._ts = t._make_ts()
             last_lm = t._ts.last_lm
@@ -420,6 +582,7 @@ class StreamBank:
             if self.bow_all is not None and mc.kf_bow is not None:
                 self.bow_all = self.bow_all.at[r].set(mc.kf_bow)
             self._dirty[r] = False
+            self._gens[r] += 1
         # snapshot of the authoritative pool's occupancy for the next
         # reconciliation's association filter, and the keyframe high-water
         # mark below which follower copy slots must never be replayed
@@ -431,11 +594,14 @@ class StreamBank:
     def _replay_follower_kfs(self, r: int, o: int, slots: list[int]):
         """Replay keyframes a follower inserted into its chunk-epoch copy
         into the authoritative map (host insert pipeline), preserving only
-        associations to landmarks that exist in the authoritative pool."""
+        associations to landmarks that exist in the authoritative pool AND
+        existed at the last shared refresh (later ids alias follower-copy
+        allocations — both copies draw from the same free slots)."""
         from orbslamm_tpu.ops.orb import Features
 
         mB = tree_slice(self.m_all, r)  # follower's evolved copy
         mc = self.trackers[o].mapctx
+        base_valid = self._shared_lm_valid.get(o)
         tr = get_tracer()
         for s_ in slots:
             if mc.n_kf >= self.cfg.capacity.max_keyframes - 1:
@@ -454,7 +620,10 @@ class StreamBank:
                 u_right=mB.kf_ur[sl],
             )
             obs = mB.kf_obs_lm[sl]
-            keep = (obs >= 0) & mc.map.lm_valid[jnp.maximum(obs, 0)]
+            safe = jnp.maximum(obs, 0)
+            keep = (obs >= 0) & mc.map.lm_valid[safe]
+            if base_valid is not None:
+                keep &= base_valid[safe]
             obs_clean = jnp.where(keep, obs, -1)
             new_slot = mc.insert_keyframe(
                 mB.kf_pose[sl], mB.kf_K[sl], feats, obs_clean,
@@ -470,6 +639,7 @@ class StreamBank:
         or a merge changed the robot's active map."""
         t = self.trackers[r]
         self.followers.pop(r, None)
+        self._follower_base_nkf.pop(r, None)
         if t._ts is None:
             t._ts = t._make_ts()
         self.m_all = tree_set(self.m_all, r, t.mapctx.map)
@@ -477,6 +647,7 @@ class StreamBank:
         if self.bow_all is not None and t.mapctx.kf_bow is not None:
             self.bow_all = self.bow_all.at[r].set(t.mapctx.kf_bow)
         self._dirty[r] = False
+        self._gens[r] += 1
 
     def _sync_tracker(self, r: int):
         """Materialize robot ``r``'s map slice into its MapContext.
@@ -495,7 +666,10 @@ class StreamBank:
     def sync_to_trackers(self):
         """Drain the in-flight chunk and write all device state back into
         the trackers (for trajectory export, merging, serialization)."""
+        from orbslamm_tpu.models.system import TrackingState
+
         self.flush()
         for r in range(len(self.trackers)):
-            self._sync_tracker(r)
-            self.trackers[r]._sync_from_ts()
+            if self.trackers[r].state == TrackingState.OK:
+                self._sync_tracker(r)
+                self.trackers[r]._sync_from_ts()

@@ -161,6 +161,8 @@ class CapacityConfig:
     max_maps: int = 8
     max_local_kfs: int = 80  # Tracking.cc:1348 local-window cap
     max_local_points: int = 4096
+    # persistent loop-edge table (KeyFrame::AddLoopEdge records)
+    max_loop_edges: int = 32
 
 
 @dataclass(frozen=True)
