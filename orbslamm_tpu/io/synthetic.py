@@ -373,3 +373,48 @@ def fabricate_map(
             feats, jnp.asarray(obs, jnp.int32), fid, float(fid), fixed=(k == 0),
         )
     return m, lm_slot
+
+
+def export_tum_sequence(seq: SyntheticSequence, out_dir, cam=None) -> "Path":
+    """Write a SyntheticSequence to disk in the TUM RGB-D dataset layout
+    (rgb/<stamp>.png + rgb.txt + groundtruth.txt + a reference-schema
+    settings YAML) — exercises the REAL dataset path end to end:
+    io/datasets.load_tum_sequence → native/Python decoder →
+    examples/mono_tum.py → trajectory export (mono_tum.cc LoadImages).
+    """
+    from pathlib import Path
+
+    from PIL import Image
+
+    from orbslamm_tpu.io.trajectory import save_tum
+
+    out = Path(out_dir)
+    (out / "rgb").mkdir(parents=True, exist_ok=True)
+    lines = ["# color images", "# file: synthetic", "# timestamp filename"]
+    for i, (ts, img) in enumerate(zip(seq.timestamps, seq.images)):
+        name = f"rgb/{ts:.6f}.png"
+        Image.fromarray(img).save(out / name)
+        lines.append(f"{ts:.6f} {name}")
+    (out / "rgb.txt").write_text("\n".join(lines) + "\n")
+    save_tum(out / "groundtruth.txt", seq.timestamps, seq.poses_cw)
+    K = seq.K
+    settings = [
+        "%YAML:1.0",
+        f"Camera.fx: {K[0, 0]}",
+        f"Camera.fy: {K[1, 1]}",
+        f"Camera.cx: {K[0, 2]}",
+        f"Camera.cy: {K[1, 2]}",
+        "Camera.k1: 0.0", "Camera.k2: 0.0", "Camera.p1: 0.0",
+        "Camera.p2: 0.0", "Camera.k3: 0.0",
+        "Camera.fps: 30.0", "Camera.RGB: 1",
+        "ORBextractor.nFeatures: 400",
+        "ORBextractor.scaleFactor: 1.2",
+        "ORBextractor.nLevels: 4",
+        "ORBextractor.iniThFAST: 20",
+        "ORBextractor.minThFAST: 7",
+        # framework-extension keys: synthetic sprites pin to integer pixels
+        "Tracking.pixelNoise: 1.2",
+        "Tracking.initMinParallaxDeg: 0.4",
+    ]
+    (out / "settings.yaml").write_text("\n".join(settings) + "\n")
+    return out

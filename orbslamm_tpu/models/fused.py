@@ -108,11 +108,20 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
         feat_lm0 = jnp.where(weak, jnp.full_like(r1.feat_lm, -1), r1.feat_lm)
         r2, m = trk.track_local_map(
             cfg, m, feats, T_start, K, feat_lm0,
-            radius_scale=jnp.where(weak, 8.0, 1.0),
+            radius_scale=jnp.where(weak, 3.0, 1.0),
         )
         ok = (r2.n_inliers >= cfg.tracking.min_inliers_local_map) & (
             r2.n_inliers.astype(jnp.float32)
             >= cfg.tracking.min_track_inlier_ratio * r2.n_matches.astype(jnp.float32)
+        )
+        # a weak-frame recovery ran with widened windows (more aliasing
+        # headroom): only trust it when it looks like a REAL re-lock —
+        # comparable support to the recent track record (the reference's
+        # TrackReferenceKeyFrame likewise re-verifies with PoseOptimization
+        # before accepting, Tracking.cc:302)
+        ok &= ~weak | (
+            r2.n_inliers.astype(jnp.float32)
+            >= 0.5 * ts.prev_inliers.astype(jnp.float32)
         )
         # sudden-collapse gate: a kidnap/teleport produces a cliff in the
         # inlier count even when chance (perceptual-aliasing) matches keep it
@@ -141,6 +150,10 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
         )
         need_kf &= ts.n_kf < cfg.capacity.max_keyframes - 1
         need_kf &= jnp.asarray(allow_kf)
+        # never mint a keyframe from a wide-window recovery frame: its
+        # associations carry extra aliasing risk (junk keyframes poison
+        # triangulation and the BoW database)
+        need_kf &= ~weak
         slot = ts.n_kf
 
         have_ind = ts.obs_ind is not None

@@ -172,10 +172,33 @@ def _sim3_between_feature_sets(
     )
     res = matching.resolve_duplicates(res, has_a.shape[0])
     pa_m = pa[res.idx]
+    # depth-ratio consistency gate for HYPOTHESIS sampling: candidate
+    # keyframes view the scene from nearly the same spot (that is why BoW
+    # ranked them), so the norm ratio |pa|/|pb| of a TRUE correspondence
+    # approximates the Sim3 scale. Triangulated depth is only weakly
+    # constrained along the viewing ray (and projection-window association
+    # aliases along it), so a sizeable fraction of matches carry wild depth
+    # errors — 3-point Horn on such triples never proposes a transform near
+    # the truth (reference Sim3Solver.cc gets away with random triples only
+    # because g2o-polished maps have tighter depths). Sampling only from
+    # the ratio-consistent majority makes the minimal solver stable; the
+    # SearchBySim3 extend stages below re-match and re-count on everything.
+    rho = jnp.linalg.norm(pa_m, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(pb, axis=-1), 1e-9
+    )
+    rho_med = jnp.nanmedian(jnp.where(res.ok, rho, jnp.nan))
+    rho_med = jnp.where(jnp.isfinite(rho_med), rho_med, 1.0)
+    consistent = res.ok & (rho > 0.7 * rho_med) & (rho < 1.43 * rho_med)
+    sample_ok = jnp.where(consistent.sum() >= 8, consistent, res.ok)
     s3 = ransac.sim3_ransac(
-        pb, pa_m, res.ok, K_b, K_a, key, min_inliers=8
+        pb, pa_m, sample_ok, K_b, K_a, key, min_inliers=8, n_hyp=256
     )
     S = s3.S21  # b-cam -> a-cam
+
+    def count_inliers(S_, pa2, ok):
+        pb2a = geo.sim3_apply(S_, pb)
+        e_a = jnp.sum((geo.project(K_a, pb2a) - geo.project(K_a, pa2)) ** 2, -1)
+        return ok & (e_a < 9.86) & (pb2a[:, 2] > 0.05)
 
     def extend(S, _):
         # project b-points into a's image through S; match by appearance
@@ -191,16 +214,35 @@ def _sim3_between_feature_sets(
             max_dist=float(cfg.matcher.th_high), ratio=1.0,
         )
         r2 = matching.resolve_duplicates(r2, has_a.shape[0])
-        # refine with Horn on the extended correspondences
         pa2 = pa[r2.idx]
-        s_f, R_f, t_f = geo.umeyama_alignment(pb, pa2, mask=r2.ok)
+        # refit on the depth-ratio-consistent subset (full least squares
+        # over all matches is poisoned by the same along-ray depth noise
+        # the RANSAC sampling gate protects against), then keep whichever
+        # of {current S, refit, refit-on-inliers} explains the most matches
+        # — refinement never degrades the hypothesis
+        rho2 = jnp.linalg.norm(pa2, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(pb, axis=-1), 1e-9
+        )
+        med2 = jnp.nanmedian(jnp.where(r2.ok, rho2, jnp.nan))
+        med2 = jnp.where(jnp.isfinite(med2), med2, 1.0)
+        cons2 = r2.ok & (rho2 > 0.7 * med2) & (rho2 < 1.43 * med2)
+        fit_ok = jnp.where(cons2.sum() >= 8, cons2, r2.ok)
+        s_f, R_f, t_f = geo.umeyama_alignment(pb, pa2, mask=fit_ok)
         S_new = geo.sim3_make(s_f, R_f, t_f)
-        # count inliers under the refined transform (both-image check)
-        pb2a = geo.sim3_apply(S_new, pb)
-        e_a = jnp.sum((geo.project(K_a, pb2a) - geo.project(K_a, pa2)) ** 2, -1)
-        inl = r2.ok & (e_a < 9.86)
-        ok = r2.ok.sum() >= 10
-        S_out = jnp.where(ok, S_new, S)
+        inl_old = count_inliers(S, pa2, r2.ok)
+        inl_new = count_inliers(S_new, pa2, r2.ok)
+        take = inl_new.sum() > inl_old.sum()
+        S1 = jnp.where(take, S_new, S)
+        inl1 = jnp.where(take, inl_new, inl_old)
+        # one IRLS round: refit on the current inlier set
+        s_2, R_2, t_2 = geo.umeyama_alignment(
+            pb, pa2, mask=inl1 & (inl1.sum() >= 4)
+        )
+        S2 = geo.sim3_make(s_2, R_2, t_2)
+        inl2 = count_inliers(S2, pa2, r2.ok)
+        take2 = inl2.sum() > inl1.sum()
+        S_out = jnp.where(take2, S2, S1)
+        inl = jnp.where(take2, inl2, inl1)
         return S_out, inl
 
     S, inl = extend(S, None)

@@ -108,11 +108,22 @@ def empty_map(cfg: SlamConfig) -> MapState:
 def lm_indicator(m: MapState) -> jax.Array:
     """[K, L] float32 — 1 where keyframe k observes landmark l.
 
-    Compare+reduce (fused by XLA into a streaming reduction, no [K,M,L]
-    materialization) instead of a scatter — TPU scatters serialize per
-    update. Feeds the covisibility matmul and observation counting.
+    Two formulations, chosen by problem size (static shapes, host branch):
+      * compare+reduce (fused by XLA into a streaming reduction, no
+        [K,M,L] materialization) — O(K*M*L) byte-ops, fastest at
+        small/medium capacities where TPU scatters would serialize;
+      * row+column scatter-max — O(K*M) updates, the only feasible path at
+        reference scale (K=1024, L=65536: compare would be 1.4e14 ops; the
+        scatter measures ~52 ms on a v5e, see PROFILE.md).
+    Feeds the covisibility matmul and observation counting.
     """
+    K, M = m.kf_obs_lm.shape
     L = m.lm_pos.shape[0]
+    if K * M * L >= 2**31:
+        o = jnp.where(m.kf_feat_valid & (m.kf_obs_lm >= 0), m.kf_obs_lm, L)
+        rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, M))
+        ind = jnp.zeros((K, L + 1), jnp.float32).at[rows, o].max(1.0)[:, :L]
+        return ind * m.kf_valid[:, None]
     obs = jnp.where(m.kf_feat_valid & (m.kf_obs_lm >= 0), m.kf_obs_lm, -1)
     hit = obs[:, :, None] == jnp.arange(L, dtype=obs.dtype)[None, None, :]
     ind = jnp.max(hit, axis=1).astype(jnp.float32)

@@ -341,10 +341,15 @@ class MultiMapper:
             acc = np.where(scores >= floor, acc, -1.0)
             masked = acc.copy()
             for _ in range(cfg.loop.top_k_candidates):
-                cand = int(masked.argmax())
-                if masked[cand] <= 0:
+                rep = int(masked.argmax())
+                if masked[rep] <= 0:
                     break
-                masked[nb[cand]] = -1.0  # dedupe whole group
+                # verify the best-scoring INDIVIDUAL member of the winning
+                # group, not the representative (the reference's
+                # pBestCandidateKF per accumulated group,
+                # KeyFrameDatabase.cc:170-190)
+                cand = int(np.argmax(np.where(nb[rep], scores, -1.0)))
+                masked[nb[rep]] = -1.0  # dedupe whole group
                 self._key, sub = jax.random.split(self._key)
                 ls = lc_stage.compute_loop_sim3_cross(
                     cfg, mcB.map, mcA.map, jnp.int32(slot), jnp.int32(cand),
@@ -372,6 +377,11 @@ class MultiMapper:
         mcA.map = res.map
         merged_slot_b = nA + slot_b
         mcA.n_kf = nA + mcB.n_kf
+        # anchor for owner-side rebase: A's newest keyframe — the essential
+        # graph + GBA below move A's map under any robot tracking it; its
+        # tracking state must ride the correction (System.cc:470-499 Tcr)
+        anchor = nA - 1
+        T_anchor_before = np.asarray(mcA.map.kf_pose[anchor])
         # BoW rows of the absorbed keyframes (appearance is unchanged)
         mcA.kf_bow = jax.lax.dynamic_update_slice(
             mcA.kf_bow, jax.lax.dynamic_slice(
@@ -394,6 +404,18 @@ class MultiMapper:
             cfg, mcA.map, iters=mcA.gba_slice_iters
         )
         mcA.gba_remaining = 6
+        T_anchor_after = np.asarray(mcA.map.kf_pose[anchor])
+        # rebase record for the StreamBank's shared refresh (consumed there)
+        mcA.last_merge_rebase = (T_anchor_before, T_anchor_after)
+        # owner-side robots (already tracking A) ride the correction; their
+        # device TrackState is rebuilt lazily with a fresh indicator
+        A_delta = np.linalg.inv(T_anchor_before) @ T_anchor_after
+        for r in self.robots:
+            if r.mapctx is mcA:
+                r._sync_from_ts()
+                r.T_cw = jnp.asarray(np.asarray(r.T_cw) @ A_delta)
+                r.last_T = r.T_cw
+                r.prev_inliers = 0  # collapse gate disarmed for one frame
         # switch every robot that tracked B onto the merged map
         for r in self.robots:
             if r.mapctx is mcB:

@@ -137,6 +137,10 @@ class MapContext:
         self.gba_remaining = 0
         self.gba_slice_iters = 2
         self.merged_into: "MapContext | None" = None
+        # (T_anchor_before, T_anchor_after) of the latest merge correction —
+        # consumed by the StreamBank's shared refresh to rebase device
+        # tracking states through the map movement
+        self.last_merge_rebase = None
         # runtime toggle replacing the reference's LoopClosing thread
         # enable/disable; also gates lazy vocabulary training
         self.loop_closing_enabled = True
@@ -289,7 +293,9 @@ class MapContext:
                 c = int(masked.argmax())
                 if masked[c] <= 0:
                     break
-                cands.append(c)
+                # best-scoring individual member of the accumulated group
+                # (reference pBestCandidateKF, KeyFrameDatabase.cc:170-190)
+                cands.append(int(np.argmax(np.where(nb[c], sc, -1.0))))
                 masked[nb[c]] = -1.0  # dedupe: drop the whole group
             # consistency over consecutive keyframes (LoopClosing.cc:158-217):
             # a candidate group must reappear for covisibility_consistency
@@ -693,33 +699,59 @@ class RobotTracker:
         return n2
 
     def _try_relocalize(self, feats: Features) -> int:
+        """Relocalization with the KFDB-rigor candidate treatment
+        (KeyFrameDatabase::DetectRelocalizationCandidates,
+        KeyFrameDatabase.cc:202-312): covisibility-group score accumulation
+        with 0.75x-of-best retention, geometric (PnP) verification of each
+        group's best individual keyframe, then projection refinement
+        against the local map before accepting (Tracking.cc:1404-1560)."""
         self._sync_from_ts()
+        cfg = self.cfg
         mc = self.mapctx
         if mc.voc is None or mc.kf_bow is None:
             return 0
         words = bow.assign_words(mc.voc, feats.desc, feats.valid)
         v = bow.bow_vector(mc.voc, words)
         scores = np.asarray(
-            lc_stage.relocalization_candidates(self.cfg, mc.map, mc.kf_bow, v)
+            lc_stage.relocalization_candidates(cfg, mc.map, mc.kf_bow, v)
         )
-        for cand in np.argsort(scores)[::-1][:3]:
-            if scores[cand] <= 0.01:
+        if float(scores.max()) <= 0.01:
+            return 0
+        acc_d, nb_d = lc_stage.candidate_groups(
+            cfg, mc.map, jnp.asarray(np.where(scores > 0.01, scores, -1.0))
+        )
+        acc = np.asarray(acc_d)
+        nb = np.asarray(nb_d)
+        masked = acc.copy()
+        for _ in range(cfg.loop.top_k_candidates):
+            rep = int(masked.argmax())
+            if masked[rep] <= 0:
                 break
+            cand = int(np.argmax(np.where(nb[rep], scores, -1.0)))
+            masked[nb[rep]] = -1.0
             self._key, sub = jax.random.split(self._key)
             ok, T, feat_lm, n = lc_stage.relocalize_against_kf(
-                self.cfg, mc.map, feats, self.K, jnp.int32(int(cand)), sub
+                cfg, mc.map, feats, self.K, jnp.int32(cand), sub
             )
-            if bool(ok):
-                self.T_cw = T
-                self.last_T = T
-                self.velocity = jnp.eye(4)
-                self.last_feats = feats
-                self.last_lm = feat_lm
-                self.state = TrackingState.OK
-                self.frames_since_kf = 0
-                self.peak_inliers_since_kf = int(n)
-                self.prev_inliers = 0
-                return int(n)
+            if not bool(ok):
+                continue
+            # projection refinement: harvest more map associations from the
+            # PnP pose and re-optimize (SearchByProjection + final
+            # PoseOptimization, Tracking.cc:1500-1553)
+            r2, mc.map = trk.track_local_map(cfg, mc.map, feats, T, self.K,
+                                             feat_lm)
+            if int(r2.n_inliers) < cfg.tracking.min_inliers_local_map:
+                continue
+            self.T_cw = r2.T_cw
+            self.last_T = r2.T_cw
+            self.velocity = jnp.eye(4)
+            self.last_feats = feats
+            self.last_lm = r2.feat_lm
+            self.state = TrackingState.OK
+            self.frames_since_kf = 0
+            self.peak_inliers_since_kf = int(r2.n_inliers)
+            self.prev_inliers = 0
+            return int(r2.n_inliers)
         return 0
 
     def _track_fused(self, img, timestamp: float) -> int:

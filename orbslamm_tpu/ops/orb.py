@@ -20,7 +20,8 @@ Replaces the reference's ORBextractor (ORBextractor.cc:1043 operator(),
     256-bit rotated binary descriptor samples a 256-point pool directly
     from the blurred level image — no per-keypoint patch gathers anywhere
     (random-access gathers are TPU's slowest primitive; see
-    orientation_maps/_descriptors_at). The descriptor test pattern is this
+    orientation_maps and the concatenated single-gather sample
+    stage in make_extractor). The descriptor test pattern is this
     framework's own fixed pseudo-random BRIEF pattern (NOT copied from
     OpenCV's learned table).
   * All shapes are static per (OrbConfig, image size): per-level keypoint
@@ -118,54 +119,6 @@ def pattern_tests() -> np.ndarray:
     return np.stack([a, b], axis=-1).astype(np.int32)
 
 
-N_ANGLE_BINS = 30  # rBRIEF pattern rotation quantization (2*pi/30, the ORB
-# paper's lookup-table discretization; pattern points at radius <= 13 move
-# < 3 px per bin step, within the blur's tolerance)
-
-
-@functools.lru_cache(maxsize=1)
-def _ic_mask_vectors() -> tuple[np.ndarray, np.ndarray]:
-    """[PATCH*PATCH] dx and dy weight vectors of the circular IC mask,
-    embedded in the 41x41 descriptor patch (zero outside radius IC_R).
-    m10 = patch · dx_vec, m01 = patch · dy_vec — the per-keypoint moment
-    sums as ONE einsum over gathered patches (MXU work, no extra gathers)."""
-    dy, dx = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
-    halfw = ic_row_halfwidths()
-    inside = np.zeros_like(dx, bool)
-    for k, y in enumerate(range(-IC_R, IC_R + 1)):
-        w = int(halfw[k])
-        inside[y + PATCH_R, PATCH_R - w : PATCH_R + w + 1] = True
-    dxv = np.where(inside, dx, 0).astype(np.float32).reshape(-1)
-    dyv = np.where(inside, dy, 0).astype(np.float32).reshape(-1)
-    return dxv, dyv
-
-
-@functools.lru_cache(maxsize=1)
-def _descriptor_test_matrix() -> np.ndarray:
-    """[PATCH*PATCH, N_ANGLE_BINS*256] f32 in {-1, 0, +1}.
-
-    Column (b, t) holds +1 at the patch position of test t's second point
-    and -1 at its first point, both rotated by angle bin b — so
-    patches[K, 1681] @ D yields every test difference for every bin in ONE
-    matmul (the MXU replaces 256 random-access gathers per keypoint, the
-    dominant cost of the previous flat-image sampling), and the keypoint's
-    bin row is selected afterwards. A test whose rotated endpoints collide
-    after rounding contributes a constant-0 bit for that bin only (rare)."""
-    pts = pattern_points()  # [P,2]
-    tests = pattern_tests()  # [256,2]
-    D = np.zeros((PATCH * PATCH, N_ANGLE_BINS * 256), np.float32)
-    for b in range(N_ANGLE_BINS):
-        a = 2.0 * np.pi * b / N_ANGLE_BINS
-        c, s = np.cos(a), np.sin(a)
-        rx = np.clip(np.round(c * pts[:, 0] - s * pts[:, 1]), -PATCH_R, PATCH_R).astype(int)
-        ry = np.clip(np.round(s * pts[:, 0] + c * pts[:, 1]), -PATCH_R, PATCH_R).astype(int)
-        flat = (ry + PATCH_R) * PATCH + (rx + PATCH_R)  # [P]
-        col = b * 256 + np.arange(256)
-        D[flat[tests[:, 1]], col] += 1.0
-        D[flat[tests[:, 0]], col] -= 1.0
-    return D
-
-
 @functools.lru_cache(maxsize=1)
 def ic_row_halfwidths() -> np.ndarray:
     """[2*IC_R+1] int32 — half-width of the circular intensity-centroid mask
@@ -218,12 +171,29 @@ def fast_score(img: jax.Array) -> jax.Array:
         [pad[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] - center for dx, dy in _CIRCLE],
         axis=0,
     )  # [16, H, W]
+
+    def sliding_min9_max(ext):
+        """max over the 16 9-wide sliding-window minima of ext [24,H,W] —
+        van Herk/Gil-Werman: block prefix/suffix minima give every window
+        min in 2 passes (~64 [H,W] ops) instead of 16x9 slice reductions."""
+        w = 9
+        n = ext.shape[0]  # 24
+        # forward prefix minima within blocks of w
+        F = [ext[0]]
+        for i in range(1, n):
+            F.append(ext[i] if i % w == 0 else jnp.minimum(F[-1], ext[i]))
+        # backward suffix minima within the same blocks
+        G = [None] * n
+        G[n - 1] = ext[n - 1]
+        for i in range(n - 2, -1, -1):
+            G[i] = ext[i] if (i + 1) % w == 0 else jnp.minimum(G[i + 1], ext[i])
+        best = jnp.full((H, W), -1e9, jnp.float32)
+        for s in range(16):
+            best = jnp.maximum(best, jnp.minimum(G[s], F[s + w - 1]))
+        return best
+
     ext_b = jnp.concatenate([diffs, diffs[:8]], axis=0)  # [24,H,W]
-    ext_d = jnp.concatenate([-diffs, -diffs[:8]], axis=0)
-    best = jnp.full((H, W), -1e9, jnp.float32)
-    for s in range(16):
-        best = jnp.maximum(best, jnp.min(ext_b[s : s + 9], axis=0))
-        best = jnp.maximum(best, jnp.min(ext_d[s : s + 9], axis=0))
+    best = jnp.maximum(sliding_min9_max(ext_b), sliding_min9_max(-ext_b))
     return jnp.maximum(best, 0.0)
 
 
@@ -342,76 +312,6 @@ def _orientation_at(img: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.arctan2(g01, g10)
 
 
-def _orient_and_describe(img: jax.Array, blur: jax.Array,
-                         xy: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Patch-gather + MXU formulation of IC_Angle + computeOrbDescriptor
-    (ORBextractor.cc:77,108): gather ONE [K, 41, 41] patch per keypoint from
-    the raw and blurred level images (keypoints are >= EDGE from the
-    border, so no clipping), then
-
-      * orientation = atan2(patch_raw · dy_mask, patch_raw · dx_mask)
-        — identical values to the circular-mask moment sums;
-      * descriptor: patch_blur[K, 1681] @ D[1681, 30*256] evaluates every
-        binary test under every quantized pattern rotation in one matmul;
-        the keypoint's angle bin selects its 256 bits.
-
-    Random-access gathers are TPU's slowest primitive — this keeps them to
-    one patch per keypoint and moves the 256-point sampling onto the MXU.
-    Returns (angle [K], desc [K, 32] uint8)."""
-    H, W = img.shape
-    off = (
-        jnp.arange(-PATCH_R, PATCH_R + 1)[:, None] * W
-        + jnp.arange(-PATCH_R, PATCH_R + 1)[None, :]
-    ).reshape(-1)  # [1681]
-    base = xy[:, 1] * W + xy[:, 0]
-    idx = base[:, None] + off[None, :]  # [K, 1681]
-    p_raw = jnp.take(img.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
-    p_blur = jnp.take(blur.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
-
-    dxv, dyv = _ic_mask_vectors()
-    m10 = p_raw @ jnp.asarray(dxv)
-    m01 = p_raw @ jnp.asarray(dyv)
-    angle = jnp.arctan2(m01, m10)
-
-    D = jnp.asarray(_descriptor_test_matrix())  # [1681, 30*256]
-    diffs = (p_blur @ D).reshape(-1, N_ANGLE_BINS, 256)  # [K, 30, 256]
-    binf = jnp.round(angle / (2.0 * jnp.pi / N_ANGLE_BINS))
-    bin_ = jnp.mod(binf.astype(jnp.int32), N_ANGLE_BINS)
-    sel = jnp.take_along_axis(diffs, bin_[:, None, None], axis=1)[:, 0]
-    bits = (sel > 0).astype(jnp.uint8)  # test: v[first] < v[second]
-    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
-    desc = jnp.sum(
-        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
-    ).astype(jnp.uint8)
-    return angle, desc
-
-
-def _descriptors_at(blur: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
-    """Rotated binary test descriptor, sampled straight from the blurred
-    level image (no patch materialization): gather the N_SAMPLE_POINTS
-    rotated pool positions per keypoint, then evaluate the 256 static test
-    pairs. blur [H,W], xy [K,2] int32, angle [K] -> [K,32] uint8."""
-    H, W = blur.shape
-    pts = jnp.asarray(pattern_points())  # [P,2]
-    tests = pattern_tests()  # np [256,2] static
-    c = jnp.cos(angle)[:, None]
-    s = jnp.sin(angle)[:, None]
-    px = pts[:, 0][None]
-    py = pts[:, 1][None]
-    rx = jnp.round(c * px - s * py).astype(jnp.int32) + xy[:, 0:1]
-    ry = jnp.round(s * px + c * py).astype(jnp.int32) + xy[:, 1:2]
-    rx = jnp.clip(rx, 0, W - 1)
-    ry = jnp.clip(ry, 0, H - 1)
-    v = jnp.take(blur.reshape(-1), (ry * W + rx).reshape(-1)).reshape(
-        xy.shape[0], -1
-    )  # [K, P]
-    bits = (v[:, tests[:, 0]] < v[:, tests[:, 1]]).astype(jnp.uint8)
-    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
-    return jnp.sum(
-        bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
-    ).astype(jnp.uint8)
-
-
 # ---------------------------------------------------------------------------
 # Undistortion (Frame.cc UndistortKeyPoints equivalent)
 # ---------------------------------------------------------------------------
@@ -456,10 +356,19 @@ def make_extractor(orb: OrbConfig, cam: CameraConfig, n_features: int | None = N
     if total > M:
         raise ValueError(f"max_keypoints {M} < total level budget {total}")
 
+    # static per-level flat-buffer offsets for the concatenated sample stage
+    level_off = []
+    acc = 0
+    for (Hl, Wl) in level_shapes:
+        level_off.append(acc)
+        acc += Hl * Wl
+
     @jax.jit
     def extract(image_u8: jax.Array) -> Features:
         img0 = image_u8.astype(jnp.float32)
-        xs, resps, valids, angles, descs, levels = [], [], [], [], [], []
+        xs_lvl, resps, valids, levels = [], [], [], []
+        blur_parts, m10_parts, m01_parts = [], [], []
+        base_parts, W_parts = [], []
         for l, ((Hl, Wl), n_l) in enumerate(zip(level_shapes, counts)):
             img = (
                 img0
@@ -470,29 +379,69 @@ def make_extractor(orb: OrbConfig, cam: CameraConfig, n_features: int | None = N
             xy, resp, valid = select_level_keypoints(
                 score, n_l, float(orb.min_th_fast), orb.cell_size
             )
-            blur = gaussian_blur7(img)
-            ang, desc = _orient_and_describe(img, blur, xy)
-            scale = orb.scale_factor**l
-            xs.append(xy.astype(jnp.float32) * scale)
+            blur_parts.append(gaussian_blur7(img).reshape(-1))
+            m10, m01 = orientation_maps(img)
+            m10_parts.append(m10.reshape(-1))
+            m01_parts.append(m01.reshape(-1))
+            xs_lvl.append(xy)
             resps.append(resp)
             valids.append(valid)
-            angles.append(ang)
-            descs.append(desc)
             levels.append(jnp.full((n_l,), l, jnp.int32))
+            base_parts.append(jnp.full((n_l,), level_off[l], jnp.int32))
+            W_parts.append(jnp.full((n_l,), Wl, jnp.int32))
+
+        # ---- concatenated sample stage: ONE orientation gather + ONE
+        # descriptor gather across ALL levels (per-level stages above are
+        # image-wise convolutions; the per-keypoint random-access work is
+        # batched here so small pyramid levels stop paying per-level kernel
+        # overheads) -------------------------------------------------------
+        blur_flat = jnp.concatenate(blur_parts)
+        m10_flat = jnp.concatenate(m10_parts)
+        m01_flat = jnp.concatenate(m01_parts)
+        xy_lvl = jnp.concatenate(xs_lvl)  # [total, 2] int32 level coords
+        base = jnp.concatenate(base_parts)
+        Wk = jnp.concatenate(W_parts)
+        anchor = base + xy_lvl[:, 1] * Wk + xy_lvl[:, 0]
+        g10 = jnp.take(m10_flat, anchor)
+        g01 = jnp.take(m01_flat, anchor)
+        ang_all = jnp.arctan2(g01, g10)
+
+        pts = jnp.asarray(pattern_points())  # [P,2]
+        tests = pattern_tests()  # np [256,2] static
+        c = jnp.cos(ang_all)[:, None]
+        s = jnp.sin(ang_all)[:, None]
+        px = pts[:, 0][None]
+        py = pts[:, 1][None]
+        rx = jnp.round(c * px - s * py).astype(jnp.int32)
+        ry = jnp.round(s * px + c * py).astype(jnp.int32)
+        # keypoints are >= EDGE(20) from every level border and |rotated
+        # pattern point| <= 19, so no clipping is needed
+        idx = anchor[:, None] + ry * Wk[:, None] + rx
+        v = jnp.take(blur_flat, idx.reshape(-1)).reshape(idx.shape)  # [N,P]
+        bits = (v[:, tests[:, 0]] < v[:, tests[:, 1]]).astype(jnp.uint8)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+        desc_all = jnp.sum(
+            bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1
+        ).astype(jnp.uint8)
+
+        scales = jnp.concatenate([
+            jnp.full((n_l,), orb.scale_factor**l, jnp.float32)
+            for l, n_l in enumerate(counts)
+        ])
+        xy_raw_all = xy_lvl.astype(jnp.float32) * scales[:, None]
         pad = M - total
 
-        def cat(parts):
-            out = jnp.concatenate(parts, axis=0)
+        def cat(out):
             if pad:
                 out = jnp.pad(out, [(0, pad)] + [(0, 0)] * (out.ndim - 1))
             return out
 
-        xy_raw = cat(xs)
-        resp = cat(resps)
-        valid = cat(valids)
-        ang = cat(angles)
-        desc = cat(descs)
-        lvl = cat(levels)
+        xy_raw = cat(xy_raw_all)
+        resp = cat(jnp.concatenate(resps))
+        valid = cat(jnp.concatenate(valids))
+        ang = cat(ang_all)
+        desc = cat(desc_all)
+        lvl = cat(jnp.concatenate(levels))
         xy_und = undistort_points(xy_raw, cam)
         return Features(
             xy=jnp.where(valid[:, None], xy_und, 0.0),

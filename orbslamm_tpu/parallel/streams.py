@@ -333,7 +333,9 @@ class StreamBank:
                 all_recs.append(recs)
                 continue
             stale = token["gens"][r] != self._gens[r]
-            A = self._rebase.pop(r, None) if not stale else None
+            A = self._rebase.pop(r, None)  # always consume (never leak to a
+            if stale:                      # later chunk's records)
+                A = None
             mc = t.mapctx
             for j in range(C):
                 ok = bool(s.tracking_ok[r, j])
@@ -385,12 +387,20 @@ class StreamBank:
                 if self._dirty[r] and r not in self.followers:
                     self._sync_tracker(r)
 
+        def any_map_switched():
+            return any(
+                self.trackers[q].mapctx.map_id != token["map_ids"][q]
+                for q in range(R)
+            )
+
         for r, t in enumerate(self.trackers):
             new_kfs = kfs_per_robot[r]
             if not new_kfs:
                 continue
             if r in self.followers:
                 continue  # reconciled below; owner's context runs loop events
+            if t.mapctx.map_id != token["map_ids"][r]:
+                continue  # merged away mid-finish; reconciled below
             mc = t.mapctx
             # keyframe-rate host events on this robot's slice
             if mc.voc is not None or t.on_keyframe is not None:
@@ -414,13 +424,44 @@ class StreamBank:
                                             np.asarray(mc.map.kf_pose[slot])))
                     if t.on_keyframe is not None:
                         t.on_keyframe(t, slot)
-                        if t.mapctx is not mc:
-                            merged = True  # merged into another map
+                        if any_map_switched():
+                            # a merge fired — EITHER side may be this robot:
+                            # absorbing keeps its mapctx (content replaced),
+                            # absorbed robots switch contexts. Stop event
+                            # processing; reconciliation below pairs and
+                            # refreshes every affected slice.
+                            merged = True
                             break
-                if merged:
-                    self._adopt_merge(r)
-                elif corrections:
+                if not merged and corrections:
                     self._apply_loop_corrections(r, corrections)
+
+        # merge reconciliation: every robot whose ACTIVE map changed during
+        # this finish (the absorbed side of a cross-robot merge — the
+        # absorbing owner's slice is refreshed by the pairing's
+        # _refresh_shared) adopts its new context into the bank
+        for r, t in enumerate(self.trackers):
+            if r in self.followers:
+                continue
+            if t.mapctx.map_id != token["map_ids"][r]:
+                self._adopt_merge(r)
+        # orphan-map merges (an absorbed map no bank robot was tracking —
+        # e.g. a kept map from an earlier loss): the absorbing robot's
+        # mapctx keeps its id but its map array was transplanted and moved —
+        # refresh its slice and rebase its tracking state
+        for r, t in enumerate(self.trackers):
+            reb = t.mapctx.last_merge_rebase
+            if reb is None:
+                continue
+            t.mapctx.last_merge_rebase = None
+            if r in self.followers:
+                continue
+            if any(ow == r for ow in self.followers.values()):
+                self._refresh_shared(r, rebase=[reb])
+            else:
+                self._apply_loop_corrections(r, [reb], refresh_bow=True)
+                # the transplant claimed keyframe slots an in-flight chunk
+                # may also be writing — discard that chunk for this robot
+                self._gens[r] += 1
         # chunk-epoch reconciliation of established followers
         for r, o in list(self.followers.items()):
             slots = [s_ for s_, _j in kfs_per_robot[r]
@@ -454,7 +495,8 @@ class StreamBank:
                     self.on_lost(t)
         return all_recs
 
-    def _apply_loop_corrections(self, r: int, corrections):
+    def _apply_loop_corrections(self, r: int, corrections,
+                                refresh_bow: bool = False):
         """A same-map loop correction landed on robot ``r``'s map during
         this finish. The corrected map replaces the bank slice; the device
         TrackState (and, in pipelined mode, the in-flight chunk's pending
@@ -475,9 +517,14 @@ class StreamBank:
             )
             A = A @ np.linalg.inv(T_old) @ T_new
         # correct_loop fused landmarks → the carried indicator is stale
-        ts_r = ts_r._replace(obs_ind=ms.lm_indicator(mc.map))
+        # the map gained keyframes / landmarks (n_kf may have grown by a
+        # transplant) — refresh the counters alongside the indicator
+        ts_r = ts_r._replace(obs_ind=ms.lm_indicator(mc.map),
+                             n_kf=jnp.int32(max(mc.n_kf, int(ts_r.n_kf))))
         self.ts_all = tree_set(self.ts_all, r, ts_r)
         self.m_all = tree_set(self.m_all, r, mc.map)
+        if refresh_bow and self.bow_all is not None and mc.kf_bow is not None:
+            self.bow_all = self.bow_all.at[r].set(mc.kf_bow)
         t.T_cw = np.asarray(np.asarray(t.T_cw) @ A)
         t.last_T = jnp.asarray(t.T_cw)
         if self._pending is not None:
@@ -526,7 +573,13 @@ class StreamBank:
         self.followers[r] = owner
         get_tracer().event("bank_follower", follower=r, owner=owner,
                            map_id=t.mapctx.map_id)
-        self._refresh_shared(owner, fresh={r})
+        # the merge's essential-graph + GBA moved the shared map: thread the
+        # anchor-pose correction through the owner's (and any existing
+        # follower's) device TrackState
+        reb = t.mapctx.last_merge_rebase
+        t.mapctx.last_merge_rebase = None
+        self._refresh_shared(owner, fresh={r},
+                             rebase=[reb] if reb is not None else None)
 
     def _refresh_shared(self, o: int, fresh: set[int] = frozenset(),
                         rebase=None):
@@ -565,11 +618,12 @@ class StreamBank:
                 safe = jnp.maximum(last_lm, 0)
                 keep = (last_lm >= 0) & base_valid[safe] & mc.map.lm_valid[safe]
                 last_lm = jnp.where(keep, last_lm, -1)
-            if r != o:
-                # disarm the sudden-collapse gate for the first post-refresh
-                # frame: re-locking in the shared map legitimately starts
-                # with fewer inliers than the pre-merge streak
-                prev_inl = jnp.zeros_like(prev_inl)
+            # disarm the sudden-collapse gate for the first post-refresh
+            # frame — for EVERY member: the merge's essential-graph
+            # correction + GBA slices move the shared map under the owner
+            # too, and re-locking legitimately starts with fewer inliers
+            # than the pre-merge streak
+            prev_inl = jnp.zeros_like(prev_inl)
             t._ts = t._ts._replace(
                 n_kf=jnp.int32(mc.n_kf),
                 obs_ind=ind,

@@ -249,8 +249,26 @@ def load_settings(path: str | Path, base: SlamConfig | None = None) -> SlamConfi
         min_th_fast=int(raw.get("ORBextractor.minThFAST", cfg.orb.min_th_fast)),
         max_keypoints=max(cfg.orb.max_keypoints, _next_pow2(n_feat)),
     )
+    # init acceptance thresholds scale with the feature budget: the
+    # reference's fixed counts (Tracking.cc:640 nmatches<100,
+    # Initializer minTriangulated 50) assume its 1000/2000-feature
+    # configurations — at smaller budgets the same absolute counts are
+    # unreachable and initialization never fires
+    fscale = min(1.0, n_feat / 1000.0)
     tracking = dataclasses.replace(
-        cfg.tracking, new_kf_max_frames=int(cam.fps) if cam.fps > 0 else 30
+        cfg.tracking,
+        new_kf_max_frames=int(cam.fps) if cam.fps > 0 else 30,
+        min_matches_init=max(
+            40, int(round(cfg.tracking.min_matches_init * fscale))
+        ),
+        init_min_triangulated=max(
+            25, int(round(cfg.tracking.init_min_triangulated * fscale))
+        ),
+        # framework-extension keys (not in the reference schema; optional)
+        pixel_noise=g("Tracking.pixelNoise", cfg.tracking.pixel_noise),
+        init_min_parallax_deg=g(
+            "Tracking.initMinParallaxDeg", cfg.tracking.init_min_parallax_deg
+        ),
     )
     return dataclasses.replace(cfg, camera=cam, orb=orb, tracking=tracking)
 
