@@ -125,6 +125,9 @@ def run_robots(
         if verbose and frame_no % 4 == 0:
             print(f"[driver] span {frame_no}: {mm.summary()}")
 
+    # drain the deferred merge-scan pipeline (the reference's shutdown
+    # barrier lets MultiMapper finish its in-flight scan, MultiMapper.cc:954)
+    mm.flush_merge_scans()
     if out_dir is not None:
         save_outputs(mm, out_dir)
     if verbose:

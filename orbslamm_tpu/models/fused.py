@@ -116,13 +116,14 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
         )
         # a weak-frame recovery ran with widened windows (more aliasing
         # headroom): only trust it when it looks like a REAL re-lock —
-        # comparable support to the recent track record (the reference's
-        # TrackReferenceKeyFrame likewise re-verifies with PoseOptimization
-        # before accepting, Tracking.cc:302)
-        ok &= ~weak | (
-            r2.n_inliers.astype(jnp.float32)
-            >= 0.5 * ts.prev_inliers.astype(jnp.float32)
+        # either comparable support to the recent track record or a solidly
+        # above-floor absolute count (the reference's TrackReferenceKeyFrame
+        # likewise re-verifies with PoseOptimization, Tracking.cc:302)
+        recovery_bar = jnp.minimum(
+            0.5 * ts.prev_inliers.astype(jnp.float32),
+            2.0 * cfg.tracking.min_inliers_local_map,
         )
+        ok &= ~weak | (r2.n_inliers.astype(jnp.float32) >= recovery_bar)
         # sudden-collapse gate: a kidnap/teleport produces a cliff in the
         # inlier count even when chance (perceptual-aliasing) matches keep it
         # above the absolute floor — treat a >4x single-frame drop as loss

@@ -122,6 +122,23 @@ def merge_scan_scores(
     return scores, min_score, acc, neighbors
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batched_merge_scan_scores(
+    cfg: SlamConfig,
+    m_b: ms.MapState,
+    bow_b: jax.Array,
+    slots: jax.Array,  # [Q] int32 query keyframes in map B
+    m_a: ms.MapState,
+    bow_a: jax.Array,
+):
+    """merge_scan_scores for a BATCH of query keyframes in one program —
+    the deferred scan pipeline scores a whole chunk's keyframe events (plus
+    the rescan window) in a single dispatch (MultiMapper.cc:124-165)."""
+    return jax.vmap(
+        lambda s: merge_scan_scores(cfg, m_b, bow_b, s, m_a, bow_a)
+    )(slots)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "min_gap"))
 def batched_loop_candidates(
     cfg: SlamConfig,
@@ -421,7 +438,7 @@ def global_bundle_adjust(
     return m._replace(
         kf_pose=jnp.where(m.kf_valid[:, None, None], res.T_cw, m.kf_pose),
         lm_pos=res.points,
-    )
+    ), res.cost
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

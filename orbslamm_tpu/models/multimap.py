@@ -160,6 +160,22 @@ class MultiMapper:
         # per-map newest→oldest rescan cursor (the MultiMapper.cc:124 walk,
         # amortized across keyframe events)
         self._rescan_cursor: dict[int, int] = {}
+        # deferred batched scanning: keyframe events ENQUEUE query slots;
+        # pump_merge_scans() dispatches ONE batched scoring program per
+        # (map, base-map) pair and fetches the PREVIOUS round's results —
+        # the fetch then rides behind whatever device work is already
+        # queued instead of stalling the pipeline per keyframe (the
+        # reference's MultiMapper thread polls asynchronously for the same
+        # reason, MultiMapper.cc:43-70)
+        self._scan_queue: dict[int, list[int]] = {}  # map_id -> slots
+        self._scan_pending: list[dict] = []
+        self.scan_batch = 4  # static query-batch size (one compiled program)
+        # failed Sim3 verifications back off for a few pump rounds — in an
+        # overlap region the same base-map candidate keeps clearing the BoW
+        # floor long before the geometry is verifiable, and each verify is
+        # a full Sim3 RANSAC dispatch+fetch
+        self._verify_cooldown: dict[tuple, int] = {}
+        self._pump_round = 0
 
     # -- registry ----------------------------------------------------------
     def new_map(self) -> MapContext:
@@ -201,6 +217,7 @@ class MultiMapper:
 
         def finish(tok):
             out = t._finish_chunk(tok)
+            self.pump_merge_scans()  # once per chunk boundary
             if t.state == TrackingState.LOST and self.cfg.multi_mapping:
                 self._handle_loss(t, out[-1].timestamp if out else 0.0)
             return out
@@ -259,19 +276,24 @@ class MultiMapper:
                             mc.update_bow_row(int(s))
             else:
                 return
-        self.try_merge(tracker, slot)
+        self.enqueue_scan(tracker.mapctx, slot)
+        # the pump (dispatch + deferred fetch) runs at CHUNK boundaries —
+        # pumping per keyframe would fetch same-finish dispatches and stall
+        # on their execution (streams.StreamBank.on_chunk_end /
+        # process_frames wire it); the plain per-frame path pumps here
+        if not getattr(tracker, "_in_chunk_finish", False):
+            self.pump_merge_scans()
 
     # -- merging -----------------------------------------------------------
-    def try_merge(self, tracker: RobotTracker, slot: int) -> bool:
+    def enqueue_scan(self, mcB: MapContext, slot: int):
+        """Queue a keyframe for cross-map scanning: the new keyframe plus a
+        rotating newest→oldest rescan window (the reference walks EVERY
+        keyframe of the newer map against each base map's database, newest
+        first, MultiMapper.cc:124 — the cursor amortizes that full coverage
+        across keyframe events)."""
         cfg = self.cfg
-        mcB = tracker.mapctx
         if mcB.n_kf < cfg.loop.min_kfs_for_merge or mcB.kf_bow is None:
-            return False
-        # the reference walks EVERY keyframe of the newer map against each
-        # base map's database, newest first (MultiMapper.cc:124); here the
-        # just-inserted keyframe is scanned plus a rotating newest→oldest
-        # window of older ones, amortizing the same full coverage across
-        # keyframe events
+            return
         slots = [slot]
         cursor = self._rescan_cursor.get(mcB.map_id, mcB.n_kf - 1)
         for _ in range(cfg.loop.merge_rescan_per_kf):
@@ -281,83 +303,129 @@ class MultiMapper:
             if cursor not in slots:
                 slots.append(cursor)
         self._rescan_cursor[mcB.map_id] = cursor
-        # scan timed separately from the merge itself: _do_merge has its own
-        # "merge" span, and nesting it here would double-count the merge work
-        # inside merge_scan medians
-        with get_tracer().span("merge_scan", robot=tracker.name):
-            found = None
-            for s in slots:
-                found = self._merge_scan(mcB, s)
-                if found is not None:
-                    slot = s
-                    break
-        if found is None:
-            return False
-        mcA, S_ba, cand = found
-        # map-swap rule (MultiMapper.cc:372-393): the globally-anchored map
-        # must absorb, never be absorbed — the older map (lower id; it holds
-        # the deployment's original gauge) stays the base
-        if mcB.map_id < mcA.map_id:
-            self._do_merge(mcB, mcA, geo.sim3_inv(S_ba), cand, slot)
-        else:
-            self._do_merge(mcA, mcB, S_ba, slot, cand)
-        return True
+        q = self._scan_queue.setdefault(mcB.map_id, [])
+        q.extend(s for s in slots if s not in q)
+        del q[: max(0, len(q) - 2 * self.scan_batch)]  # cap; cursor re-covers
 
-    def _merge_scan(self, mcB: MapContext, slot: int):
-        """Scan live maps for a cross-map loop; returns (base_map, Sim3,
-        candidate_slot) or None — the merge itself runs in the caller.
+    def pump_merge_scans(self) -> bool:
+        """One round of the deferred scan pipeline: fetch + verify the
+        PREVIOUS round's candidate scores (they are already computed — the
+        fetch rides behind any queued device work), then dispatch a new
+        batched scoring program for the queued slots. Returns True if a
+        merge happened."""
+        self._pump_round += 1
+        merged = self._fetch_and_verify_scans()
+        if merged:
+            self._scan_pending = []
+            self._scan_queue.clear()
+            return True
+        self._dispatch_scans()
+        return False
 
-        KFDB-rigor candidate handling (KeyFrameDatabase.cc:79-200 via
-        lc_stage.merge_scan_scores): minScore normalization from the query's
-        covisibles, covisibility-group score accumulation on the base map,
-        and geometric (Sim3) verification of the top-k group
-        representatives instead of a bare argmax."""
+    def flush_merge_scans(self, rounds: int = 2) -> bool:
+        """Drain the scan pipeline synchronously (dispatch + fetch) —
+        end-of-run completeness, and tests that need immediate results."""
+        for _ in range(rounds):
+            if self.pump_merge_scans():
+                return True
+        return self._fetch_and_verify_scans()
+
+    def _dispatch_scans(self):
         cfg = self.cfg
-        for mcA in self.live_maps():
-            if mcA is mcB or mcA.kf_bow is None:
+        for map_id, slots in list(self._scan_queue.items()):
+            mcB = next((m for m in self.maps if m.map_id == map_id), None)
+            if mcB is None or mcB.merged_into is not None or not slots:
+                self._scan_queue.pop(map_id, None)
                 continue
-            if mcA.n_kf < cfg.loop.min_kfs_for_merge:
-                continue
-            if mcA.n_kf + mcB.n_kf >= cfg.capacity.max_keyframes:
-                # merged map would overflow the keyframe pool — at real
-                # dataset scale this silently losing merges is a
-                # configuration error worth surfacing
-                get_tracer().event(
-                    "merge_skipped_capacity", base=mcA.map_id,
-                    absorbed=mcB.map_id, n_kf_base=mcA.n_kf,
-                    n_kf_absorbed=mcB.n_kf,
-                    capacity=cfg.capacity.max_keyframes,
+            take = slots[-self.scan_batch:]
+            self._scan_queue[map_id] = slots[: -len(take)]
+            padded = (take + [take[0]] * self.scan_batch)[: self.scan_batch]
+            for mcA in self.live_maps():
+                if mcA is mcB or mcA.kf_bow is None:
+                    continue
+                if mcA.n_kf < cfg.loop.min_kfs_for_merge:
+                    continue
+                if mcA.n_kf + mcB.n_kf >= cfg.capacity.max_keyframes:
+                    get_tracer().event(
+                        "merge_skipped_capacity", base=mcA.map_id,
+                        absorbed=mcB.map_id, n_kf_base=mcA.n_kf,
+                        n_kf_absorbed=mcB.n_kf,
+                        capacity=cfg.capacity.max_keyframes,
+                    )
+                    continue
+                out = lc_stage.batched_merge_scan_scores(
+                    cfg, mcB.map, mcB.kf_bow,
+                    jnp.asarray(padded, jnp.int32), mcA.map, mcA.kf_bow,
                 )
+                self._scan_pending.append({
+                    "mcB": mcB, "mcA": mcA, "slots": take, "out": out,
+                })
+
+    def _fetch_and_verify_scans(self) -> bool:
+        cfg = self.cfg
+        pending, self._scan_pending = self._scan_pending, []
+        for tok in pending:
+            mcB, mcA = tok["mcB"], tok["mcA"]
+            if mcB.merged_into is not None or mcA.merged_into is not None:
                 continue
-            scores_d, min_score_d, acc_d, nb_d = lc_stage.merge_scan_scores(
-                cfg, mcB.map, mcB.kf_bow, jnp.int32(slot), mcA.map, mcA.kf_bow
-            )
-            scores = np.asarray(scores_d)
-            floor = max(float(min_score_d), 0.015)
+            with get_tracer().span("merge_scan", absorbed=mcB.map_id,
+                                   base=mcA.map_id):
+                found = self._verify_scan_token(tok)
+            if found is not None:
+                slot, S_ba, cand = found
+                # map-swap rule (MultiMapper.cc:372-393): the
+                # globally-anchored map must absorb, never be absorbed —
+                # the older map (lower id; it holds the deployment's
+                # original gauge) stays the base
+                if mcB.map_id < mcA.map_id:
+                    self._do_merge(mcB, mcA, geo.sim3_inv(S_ba), cand, slot)
+                else:
+                    self._do_merge(mcA, mcB, S_ba, slot, cand)
+                return True
+        return False
+
+    def _verify_scan_token(self, tok):
+        """Floor + group + Sim3 verification of one fetched score batch.
+        Returns (slot_b, S_ba, cand_a) or None."""
+        cfg = self.cfg
+        mcB, mcA = tok["mcB"], tok["mcA"]
+        scores_q, min_q, acc_q, nb_q = (np.asarray(x) for x in tok["out"])
+        for qi, slot in enumerate(tok["slots"]):
+            scores = scores_q[qi]
+            floor = max(float(min_q[qi]), 0.015)
             if float(scores.max()) < floor:
                 continue
-            acc = np.asarray(acc_d)
-            nb = np.asarray(nb_d)
-            acc = np.where(scores >= floor, acc, -1.0)
+            acc = np.where(scores >= floor, acc_q[qi], -1.0)
+            nb = nb_q[qi]
             masked = acc.copy()
             for _ in range(cfg.loop.top_k_candidates):
                 rep = int(masked.argmax())
                 if masked[rep] <= 0:
                     break
                 # verify the best-scoring INDIVIDUAL member of the winning
-                # group, not the representative (the reference's
-                # pBestCandidateKF per accumulated group,
-                # KeyFrameDatabase.cc:170-190)
+                # group (the reference's pBestCandidateKF per accumulated
+                # group, KeyFrameDatabase.cc:170-190)
                 cand = int(np.argmax(np.where(nb[rep], scores, -1.0)))
-                masked[nb[rep]] = -1.0  # dedupe whole group
+                masked[nb[rep]] = -1.0
+                key = (mcB.map_id, mcA.map_id, cand)
+                if self._pump_round - self._verify_cooldown.get(key, -99) < 4:
+                    continue
                 self._key, sub = jax.random.split(self._key)
                 ls = lc_stage.compute_loop_sim3_cross(
                     cfg, mcB.map, mcA.map, jnp.int32(slot), jnp.int32(cand),
                     sub,
                 )
                 if bool(ls.success):
-                    return mcA, ls.S_ba, cand
+                    return slot, ls.S_ba, cand
+                self._verify_cooldown[key] = self._pump_round
         return None
+
+    def try_merge(self, tracker: RobotTracker, slot: int) -> bool:
+        """Synchronous scan+verify of one keyframe (immediate-result path;
+        the keyframe event flow uses enqueue_scan + pump_merge_scans)."""
+        mcB = tracker.mapctx
+        self.enqueue_scan(mcB, slot)
+        return self.flush_merge_scans()
 
     def _do_merge(self, mcA: MapContext, mcB: MapContext, S_cam, slot_b: int, slot_a: int):
         tr = get_tracer()
@@ -400,10 +468,10 @@ class MultiMapper:
         # boundaries (the reference's detached RunGlobalBundleAdjustmentonMap
         # with abort-on-new-event, LoopClosing.cc:812 — re-scheduling on a
         # fresh merge is the abort analog)
-        mcA.map = lc_stage.global_bundle_adjust(
+        mcA.map, gba_cost = lc_stage.global_bundle_adjust(
             cfg, mcA.map, iters=mcA.gba_slice_iters
         )
-        mcA.gba_remaining = 6
+        mcA.schedule_gba(first_cost=float(gba_cost))
         T_anchor_after = np.asarray(mcA.map.kf_pose[anchor])
         # rebase record for the StreamBank's shared refresh (consumed there)
         mcA.last_merge_rebase = (T_anchor_before, T_anchor_after)

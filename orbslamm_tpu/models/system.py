@@ -129,13 +129,17 @@ class MapContext:
         self._consist: list[tuple[set, int]] = []
         # overlapped global BA (the reference's detached, abortable GBA
         # thread, LoopClosing.cc:585,656-810, TPU-style): a loop closure /
-        # merge schedules ``gba_remaining`` LM slices which run one per
-        # chunk boundary OVER THE CURRENT MAP STATE — keyframes inserted
-        # between slices join the problem automatically, so the reference's
-        # spanning-tree reconciliation of a stale snapshot is unnecessary.
-        # A new loop/merge simply re-schedules (the abort analog).
+        # merge schedules LM slices which run one per chunk boundary OVER
+        # THE CURRENT MAP STATE — keyframes inserted between slices join
+        # the problem automatically, so the reference's spanning-tree
+        # reconciliation of a stale snapshot is unnecessary. A new
+        # loop/merge simply re-schedules (the abort analog). Scheduling is
+        # ADAPTIVE: each slice reads back the BA cost and stops early on
+        # convergence (or runs up to gba_max_slices on a big merged map).
         self.gba_remaining = 0
+        self.gba_max_slices = 12
         self.gba_slice_iters = 2
+        self._gba_last_cost = None
         self.merged_into: "MapContext | None" = None
         # (T_anchor_before, T_anchor_after) of the latest merge correction —
         # consumed by the StreamBank's shared refresh to rebase device
@@ -331,10 +335,10 @@ class MapContext:
             )
             # one immediate slice to stabilize the seam; the rest of the
             # global BA runs overlapped, one slice per chunk boundary
-            self.map = lc_stage.global_bundle_adjust(
+            self.map, cost = lc_stage.global_bundle_adjust(
                 cfg, self.map, iters=self.gba_slice_iters
             )
-            self.gba_remaining = 6
+            self.schedule_gba(first_cost=float(cost))
         self.last_loop_kf = slot
         self._consist = []
         self.loops_closed.append((slot, cand, int(ls.n_inliers)))
@@ -343,21 +347,40 @@ class MapContext:
                  inliers=int(ls.n_inliers))
         return True
 
+    def schedule_gba(self, first_cost: float | None = None):
+        """(Re-)schedule the overlapped global BA — called by loop closures
+        and merges. Re-scheduling while slices remain is the reference's
+        abort-and-restart of its background GBA thread."""
+        self.gba_remaining = self.gba_max_slices
+        self._gba_last_cost = first_cost
+
     def gba_slice(self) -> bool:
         """Run one overlapped global-BA slice if any are scheduled. Returns
         True when a slice ran. Called at chunk boundaries — the TPU-shaped
         equivalent of the reference's background GBA thread making progress
-        between keyframe insertions."""
+        between keyframe insertions. ADAPTIVE: the slice's final cost is
+        read back, and the schedule stops as soon as the relative
+        improvement stalls (no wasted slices on a small map, enough on a
+        big merged one — replaces a fixed slice count)."""
         if self.gba_remaining <= 0:
             return False
         tr = get_tracer()
         with tr.span("gba_slice", map_id=self.map_id,
                      remaining=self.gba_remaining):
-            self.map = lc_stage.global_bundle_adjust(
+            self.map, cost_d = lc_stage.global_bundle_adjust(
                 self.cfg, self.map, iters=self.gba_slice_iters
             )
+        cost = float(cost_d)
         self.gba_remaining -= 1
         tr.incr("gba_slices")
+        if (
+            self._gba_last_cost is not None
+            and cost >= self._gba_last_cost * (1.0 - 1e-3)
+        ):
+            tr.event("gba_converged", map_id=self.map_id, cost=cost,
+                     slices_left=self.gba_remaining)
+            self.gba_remaining = 0
+        self._gba_last_cost = cost
         return True
 
     def summary(self) -> dict:
@@ -383,6 +406,9 @@ class RobotTracker:
         self._reset_tracking()
         self.frame_id = -1
         self.on_keyframe = None  # callback(tracker, slot) — MultiMapper hook
+        # True while a chunk-finish event loop runs: tells the MultiMapper
+        # hook to only ENQUEUE merge scans (the pump runs once per chunk)
+        self._in_chunk_finish = False
         # localization-only mode: track against the frozen map, never insert
         # keyframes; on loss, relocalize (reference
         # System::ActivateLocalizationMode, Tracking::mbOnlyTracking)
@@ -943,6 +969,7 @@ class RobotTracker:
             loop_pre = mc.loop_scan([slot for slot, _, _ in new_kfs])
         # pass 2: keyframe-rate events (loop closing, cross-map merging)
         loop_rebase = None
+        self._in_chunk_finish = True
         for slot, T_at_insert, _j in new_kfs:
             self._key, sub = jax.random.split(self._key)
             pose_before = mc.map.kf_pose[slot]  # lazy device ref, pre-correction
@@ -956,7 +983,9 @@ class RobotTracker:
                     # already rebased the host state; remaining keyframes of
                     # the chunk are in the merged map and will be scanned on
                     # their next keyframes
+                    self._in_chunk_finish = False
                     return recs
+        self._in_chunk_finish = False
         if loop_rebase is not None and self._ts is not None:
             # loop correction moved the map under the camera: rebase the
             # device TrackState through the corrected keyframe (the

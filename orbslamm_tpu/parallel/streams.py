@@ -184,6 +184,10 @@ class StreamBank:
         # optional hook called ONCE when a robot transitions to LOST
         # (wire to MultiMapper._handle_loss for new-map-on-loss semantics)
         self.on_lost = None
+        # optional hook called once at the END of every chunk finish —
+        # wire to MultiMapper.pump_merge_scans so the deferred cross-map
+        # scan pipeline advances exactly once per chunk
+        self.on_chunk_end = None
 
     @property
     def n_streams(self) -> int:
@@ -387,6 +391,9 @@ class StreamBank:
                 if self._dirty[r] and r not in self.followers:
                     self._sync_tracker(r)
 
+        for t in self.trackers:
+            t._in_chunk_finish = True
+
         def any_map_switched():
             return any(
                 self.trackers[q].mapctx.map_id != token["map_ids"][q]
@@ -482,6 +489,10 @@ class StreamBank:
                         self._refresh_shared(r)
                     else:
                         self.m_all = tree_set(self.m_all, r, mc.map)
+        for t in self.trackers:
+            t._in_chunk_finish = False
+        if self.on_chunk_end is not None:
+            self.on_chunk_end()
         # loss hooks AFTER all state is consistent (the hook may switch maps)
         if self.on_lost is not None:
             for r in newly_lost:

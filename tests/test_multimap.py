@@ -176,6 +176,7 @@ def test_kidnap_and_return_merges_maps():
     mm.add_robot("r0")
     for i in range(100):
         mm.process_frame(0, seq.images[i], float(seq.timestamps[i]))
+    mm.flush_merge_scans()  # drain the deferred scan pipeline
     assert len(mm.merges) >= 1, f"no merge happened: {mm.summary()}"
     # the merged (base) map spans both the original and the kidnap region
     base = next(m for m in mm.maps if m.map_id == mm.merges[0][1])

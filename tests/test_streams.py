@@ -120,14 +120,19 @@ def test_bank_cross_robot_merge_owner_follower():
     maps must MERGE mid-run, after which both robots keep tracking in the
     shared map — the absorbed robot as a follower whose keyframes are
     replayed into the authoritative map at chunk boundaries."""
+    from pathlib import Path
+
     from orbslamm_tpu.models.multimap import MultiMapper
 
     n_total = 104
-    seq = make_sequence(n_frames=n_total, n_points=1400, cam=CAM, seed=21,
+    seq = make_sequence(n_frames=n_total, n_points=1800, cam=CAM, seed=21,
                         motion="strafe")
-    half = 64
-    starts = [0, n_total - half]  # overlap = 2*half - n_total = 24 frames
-    mm = MultiMapper(CFG)
+    half = 68
+    starts = [0, n_total - half]  # overlap = 2*half - n_total = 32 frames
+    vocab = (Path(__file__).resolve().parents[1] / "orbslamm_tpu" / "data"
+             / "vocab_10x4.npz")
+    cfg = CFG.replace(vocabulary_path=str(vocab) if vocab.exists() else None)
+    mm = MultiMapper(cfg)
     robots = [mm.add_robot(f"r{k}") for k in range(2)]
 
     # bootstrap each robot on its own slice via the per-frame path
@@ -147,7 +152,9 @@ def test_bank_cross_robot_merge_owner_follower():
                              float(seq.timestamps[starts[k] + j]))
 
     mesh = Mesh(np.array(jax.devices()[:2]), ("r",))
-    bank = ps.StreamBank(CFG, robots, mesh=mesh, chunk_size=CHUNK)
+    bank = ps.StreamBank(cfg, robots, mesh=mesh, chunk_size=CHUNK)
+    bank.on_lost = lambda t: mm._handle_loss(t, 0.0)
+    bank.on_chunk_end = mm.pump_merge_scans
     i = start
     while i + CHUNK <= half:
         imgs = np.stack([
@@ -161,6 +168,7 @@ def test_bank_cross_robot_merge_owner_follower():
         bank.process_chunk(imgs, stamps)
         i += CHUNK
     bank.sync_to_trackers()
+    mm.flush_merge_scans()  # drain the deferred scan pipeline
 
     # the two maps merged and the bank survived it
     assert mm.merges, "no cross-map merge happened in the bank"
