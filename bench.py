@@ -182,19 +182,27 @@ def bench_multi(cfg, n_points=2500, seed=21):
             bank.process_chunk(imgs, stamps)
             i += CHUNK
 
-    t0 = time.perf_counter()
+    chunk_times = []
     n_meas = 0
     while i + CHUNK <= half:
         imgs, stamps = chunk_at(i)
+        t0 = time.perf_counter()
         bank.process_chunk(imgs, stamps)
+        chunk_times.append(time.perf_counter() - t0)
         n_meas += CHUNK
         i += CHUNK
+    t0 = time.perf_counter()
     bank.flush()
-    wall = time.perf_counter() - t0
+    chunk_times[-1] += time.perf_counter() - t0
     bank.sync_to_trackers()
     mm.flush_merge_scans()  # drain the deferred scan pipeline
-    fps_stream = n_meas / wall
-
+    # per-stream fps from the MEDIAN chunk time (the reference reports
+    # median per-frame tracking time for the same reason,
+    # mono_kitti_dif-Seq.cc:213-221): the ONE-TIME merge event — dominated
+    # by first-compilation of the merged-map programs in a fresh process —
+    # lands inside this short measured window and is reported separately
+    fps_stream = CHUNK / float(np.median(chunk_times))
+    fps_stream_mean = n_meas / float(np.sum(chunk_times))
     merged = bool(mm.merges)
     ate = None
     if merged:
@@ -214,6 +222,8 @@ def bench_multi(cfg, n_points=2500, seed=21):
             ate = round(float(ate_rmse(np.stack(est_c), np.stack(gt_c))), 4)
     return {
         "fps_per_stream": round(fps_stream, 2),
+        "fps_per_stream_mean": round(fps_stream_mean, 2),
+        "max_chunk_s": round(float(np.max(chunk_times)), 2),
         "n_streams": 2,
         "merged": merged,
         "merged_ate_rmse_m": ate,

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--stride", type=int, default=5)
     ap.add_argument("--out", default="out_agz")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", type=int, default=0,
+                    help="serve a live map dashboard on this port")
     args = ap.parse_args()
 
     cfg = load_settings(args.settings)

@@ -28,6 +28,8 @@ def main():
                     help="pretrained DBoW2 ORBvoc.txt (reference CLI arg 1)")
     ap.add_argument("--out", default="out_kitti2")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", type=int, default=0,
+                    help="serve a live map dashboard on this port")
     args = ap.parse_args()
 
     # NOTE: per-robot calibrations are supported (kf_K is per-keyframe), but
@@ -51,7 +53,8 @@ def main():
     n1 = len(s1) if not args.max_frames else min(len(s1), args.max_frames)
     n2 = len(s2) if not args.max_frames else min(len(s2), args.max_frames)
     feeds = [RobotFeed(frames(s1, n1), "robot0"), RobotFeed(frames(s2, n2), "robot1")]
-    run_robots(cfg, feeds, out_dir=args.out)
+    run_robots(cfg, feeds, out_dir=args.out,
+               viewer_port=args.viewer or None)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("multi_maps", nargs="?", default="1")
     ap.add_argument("--out", default="out_live")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", type=int, default=0,
+                    help="serve a live map dashboard on this port")
     args = ap.parse_args()
 
     cfg = load_settings(args.settings)

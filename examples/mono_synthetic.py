@@ -55,7 +55,8 @@ def main():
     else:
         seq = make_sequence(n_frames=args.frames, n_points=1400, cam=cam, seed=7)
         feeds = [to_feed(seq, 0, args.frames, "robot0")]
-    run_robots(cfg, feeds, out_dir=args.out)
+    run_robots(cfg, feeds, out_dir=args.out,
+               viewer_port=args.viewer or None)
 
 
 if __name__ == "__main__":

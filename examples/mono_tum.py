@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--two-robots", action="store_true")
     ap.add_argument("--out", default="out_tum")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", type=int, default=0,
+                    help="serve a live map dashboard on this port")
     args = ap.parse_args()
 
     cfg = load_settings(args.settings)
@@ -54,7 +56,8 @@ def main():
         ]
     else:
         feeds = [RobotFeed(frames(0, n), "robot0")]
-    run_robots(cfg, feeds, out_dir=args.out)
+    run_robots(cfg, feeds, out_dir=args.out,
+               viewer_port=args.viewer or None)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,7 @@ def run_robots(
     pace_real_time: bool = False,
     verbose: bool = True,
     span_chunks: int = 4,
+    viewer_port: int | None = None,
 ) -> tuple[MultiMapper, RunReport]:
     """Run all feeds round-robin through a shared MultiMapper (the reference
     runs one thread per robot; interleaving reproduces concurrency).
@@ -89,6 +90,13 @@ def run_robots(
         mm.add_robot(name)
         iters.append((name, iter(feed.frames)))
 
+    viewer = None
+    if viewer_port:
+        from orbslamm_tpu.io.viewer import LiveViewer
+
+        viewer = LiveViewer(mm, port=viewer_port).start()
+        if verbose:
+            print(f"[driver] live viewer at http://127.0.0.1:{viewer_port}/")
     report = RunReport()
     for name, _ in iters:
         report.track_times[name] = []
@@ -128,6 +136,8 @@ def run_robots(
     # drain the deferred merge-scan pipeline (the reference's shutdown
     # barrier lets MultiMapper finish its in-flight scan, MultiMapper.cc:954)
     mm.flush_merge_scans()
+    if viewer is not None:
+        viewer.stop()
     if out_dir is not None:
         save_outputs(mm, out_dir)
     if verbose:

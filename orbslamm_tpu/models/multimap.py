@@ -408,7 +408,7 @@ class MultiMapper:
                 cand = int(np.argmax(np.where(nb[rep], scores, -1.0)))
                 masked[nb[rep]] = -1.0
                 key = (mcB.map_id, mcA.map_id, cand)
-                if self._pump_round - self._verify_cooldown.get(key, -99) < 4:
+                if self._pump_round - self._verify_cooldown.get(key, -99) < 2:
                     continue
                 self._key, sub = jax.random.split(self._key)
                 ls = lc_stage.compute_loop_sim3_cross(

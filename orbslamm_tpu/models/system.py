@@ -154,7 +154,13 @@ class MapContext:
         self.kf_bow = jnp.zeros((K_cap, self.voc.n_words), jnp.float32)
 
     # -- keyframe insertion + mapping stages ------------------------------
-    def insert_keyframe(self, T_cw, K, feats: Features, feat_lm, frame_id, timestamp):
+    def insert_keyframe(self, T_cw, K, feats: Features, feat_lm, frame_id,
+                        timestamp, light: bool = False):
+        """Insert + run the local-mapping pipeline. ``light`` skips
+        triangulation / local BA / culling — for keyframes REPLAYED from a
+        follower's chunk-epoch copy, which already ran the full pipeline
+        there (only the duplicate-landmark fuse at the seam is re-run; the
+        owner's own subsequent local BAs polish the poses)."""
         tr = get_tracer()
         slot = jnp.int32(self.n_kf)
         with tr.span("local_mapping", map_id=self.map_id, slot=self.n_kf):
@@ -168,11 +174,14 @@ class MapContext:
                 self.map = lm_stage.create_depth_landmarks(
                     self.cfg, self.map, slot, feats.depth
                 )
-            self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
-            self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
-            self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
-            self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
-            self.map = lm_stage.cull_keyframes(self.cfg, self.map, slot)
+            if light:
+                self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
+            else:
+                self.map = lm_stage.triangulate_new_landmarks(self.cfg, self.map, slot)
+                self.map = lm_stage.fuse_neighbors(self.cfg, self.map, slot)
+                self.map = lm_stage.local_bundle_adjustment(self.cfg, self.map, slot)
+                self.map = lm_stage.cull_landmarks(self.cfg, self.map, slot)
+                self.map = lm_stage.cull_keyframes(self.cfg, self.map, slot)
         tr.incr("keyframes_inserted")
         tr.event("keyframe", map_id=self.map_id, slot=self.n_kf - 1,
                  frame_id=int(frame_id), ts=float(timestamp))

@@ -692,7 +692,7 @@ class StreamBank:
             obs_clean = jnp.where(keep, obs, -1)
             new_slot = mc.insert_keyframe(
                 mB.kf_pose[sl], mB.kf_K[sl], feats, obs_clean,
-                mB.kf_frame_id[sl], mB.kf_timestamp[sl],
+                mB.kf_frame_id[sl], mB.kf_timestamp[sl], light=True,
             )
             mc.update_bow_row(new_slot)
             tr.event("bank_replay_kf", follower=r, owner=o,

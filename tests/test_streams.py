@@ -124,11 +124,14 @@ def test_bank_cross_robot_merge_owner_follower():
 
     from orbslamm_tpu.models.multimap import MultiMapper
 
-    n_total = 104
+    # long enough that BOTH maps pass the >10-keyframe scan gate
+    # (MultiMapper.cc:106-120) with several deferred scan rounds to spare
+    # before the sequences end
+    n_total = 140
     seq = make_sequence(n_frames=n_total, n_points=1800, cam=CAM, seed=21,
                         motion="strafe")
-    half = 68
-    starts = [0, n_total - half]  # overlap = 2*half - n_total = 32 frames
+    half = 94
+    starts = [0, n_total - half]  # overlap = 2*half - n_total = 48 frames
     vocab = (Path(__file__).resolve().parents[1] / "orbslamm_tpu" / "data"
              / "vocab_10x4.npz")
     cfg = CFG.replace(vocabulary_path=str(vocab) if vocab.exists() else None)
