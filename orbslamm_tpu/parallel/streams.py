@@ -442,6 +442,13 @@ class StreamBank:
                 if not merged and corrections:
                     self._apply_loop_corrections(r, corrections)
 
+        # the deferred scan pipeline pumps ONCE per chunk — merges fire HERE
+        # (before reconciliation: the blocks below pair/refresh the slices
+        # of whichever robots a merge just moved or mutated)
+        for t in self.trackers:
+            t._in_chunk_finish = False
+        if self.on_chunk_end is not None:
+            self.on_chunk_end()
         # merge reconciliation: every robot whose ACTIVE map changed during
         # this finish (the absorbed side of a cross-robot merge — the
         # absorbing owner's slice is refreshed by the pairing's
@@ -489,10 +496,6 @@ class StreamBank:
                         self._refresh_shared(r)
                     else:
                         self.m_all = tree_set(self.m_all, r, mc.map)
-        for t in self.trackers:
-            t._in_chunk_finish = False
-        if self.on_chunk_end is not None:
-            self.on_chunk_end()
         # loss hooks AFTER all state is consistent (the hook may switch maps)
         if self.on_lost is not None:
             for r in newly_lost:
