@@ -86,6 +86,21 @@ def tree_set(tree, r: int, sub):
     return jax.tree.map(lambda all_, one: all_.at[r].set(one), tree, sub)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_slices_broadcast(all_tree, idxs, one):
+    """Write ONE pytree into several leading-axis slices in a single
+    dispatch (a.at[idxs].set broadcasts) — the eager per-leaf tree_set path
+    costs ~#leaves dispatches per member, which dominates the post-merge
+    shared refresh on a remote-attached device."""
+    return jax.tree.map(lambda a, o: a.at[idxs].set(o[None]), all_tree, one)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_slices_stacked(all_tree, idxs, stacked):
+    """Write a stacked [n, ...] pytree into slices ``idxs`` in one dispatch."""
+    return jax.tree.map(lambda a, s: a.at[idxs].set(s), all_tree, stacked)
+
+
 def shard_streams(tree, mesh, axis: str | None = None):
     """Place every leaf with its leading (robot) axis sharded over ``mesh``.
 
@@ -645,12 +660,18 @@ class StreamBank:
                 prev_inliers=prev_inl,
             )
             t.mapctx = mc
-            self.m_all = tree_set(self.m_all, r, mc.map)
-            self.ts_all = tree_set(self.ts_all, r, t._ts)
-            if self.bow_all is not None and mc.kf_bow is not None:
-                self.bow_all = self.bow_all.at[r].set(mc.kf_bow)
             self._dirty[r] = False
             self._gens[r] += 1
+        # batched slice writes: one dispatch for the shared map (broadcast
+        # into every member's row), one for the stacked TrackStates
+        idxs = jnp.asarray(members, jnp.int32)
+        self.m_all = _set_slices_broadcast(self.m_all, idxs, mc.map)
+        self.ts_all = _set_slices_stacked(
+            self.ts_all, idxs,
+            stack_trees([self.trackers[r]._ts for r in members]),
+        )
+        if self.bow_all is not None and mc.kf_bow is not None:
+            self.bow_all = self.bow_all.at[idxs].set(mc.kf_bow[None])
         # snapshot of the authoritative pool's occupancy for the next
         # reconciliation's association filter, and the keyframe high-water
         # mark below which follower copy slots must never be replayed
