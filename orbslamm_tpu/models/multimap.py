@@ -169,6 +169,7 @@ class MultiMapper:
         # reason, MultiMapper.cc:43-70)
         self._scan_queue: dict[int, list[int]] = {}  # map_id -> slots
         self._scan_pending: list[dict] = []
+        self._verify_pending: list[dict] = []  # dispatched Sim3 verifies
         self.scan_batch = 4  # static query-batch size (one compiled program)
         # failed Sim3 verifications back off for a few pump rounds — in an
         # overlap region the same base-map candidate keeps clearing the BoW
@@ -317,12 +318,13 @@ class MultiMapper:
         merged = self._fetch_and_verify_scans()
         if merged:
             self._scan_pending = []
+            self._verify_pending = []
             self._scan_queue.clear()
             return True
         self._dispatch_scans()
         return False
 
-    def flush_merge_scans(self, rounds: int = 2) -> bool:
+    def flush_merge_scans(self, rounds: int = 3) -> bool:
         """Drain the scan pipeline synchronously (dispatch + fetch) —
         end-of-run completeness, and tests that need immediate results."""
         for _ in range(rounds):
@@ -362,7 +364,34 @@ class MultiMapper:
                 })
 
     def _fetch_and_verify_scans(self) -> bool:
-        cfg = self.cfg
+        """Resolve LAST round's Sim3 verifications (their device results are
+        ready — the fetch is ~free), then turn this round's fetched scores
+        into NEW async Sim3 dispatches. Both pipeline stages defer their
+        fetch one pump, so no stage ever stalls the chunk loop on device
+        compute (the reference's MultiMapper thread achieves the same by
+        running verification asynchronously, MultiMapper.cc:43-70)."""
+        verifies, self._verify_pending = self._verify_pending, []
+        for v in verifies:
+            mcB, mcA = v["mcB"], v["mcA"]
+            if mcB.merged_into is not None or mcA.merged_into is not None:
+                continue
+            ls = v["ls"]
+            if bool(ls.success):
+                slot, cand = v["slot"], v["cand"]
+                # map-swap rule (MultiMapper.cc:372-393): the
+                # globally-anchored map must absorb, never be absorbed —
+                # the older map (lower id; it holds the deployment's
+                # original gauge) stays the base
+                if mcB.map_id < mcA.map_id:
+                    self._do_merge(mcB, mcA, geo.sim3_inv(ls.S_ba),
+                                   v["cand"], v["slot"])
+                else:
+                    self._do_merge(mcA, mcB, ls.S_ba, slot, cand)
+                self._verify_pending = []
+                return True
+            self._verify_cooldown[
+                (mcB.map_id, mcA.map_id, v["cand"])
+            ] = self._pump_round
         pending, self._scan_pending = self._scan_pending, []
         for tok in pending:
             mcB, mcA = tok["mcB"], tok["mcA"]
@@ -370,23 +399,12 @@ class MultiMapper:
                 continue
             with get_tracer().span("merge_scan", absorbed=mcB.map_id,
                                    base=mcA.map_id):
-                found = self._verify_scan_token(tok)
-            if found is not None:
-                slot, S_ba, cand = found
-                # map-swap rule (MultiMapper.cc:372-393): the
-                # globally-anchored map must absorb, never be absorbed —
-                # the older map (lower id; it holds the deployment's
-                # original gauge) stays the base
-                if mcB.map_id < mcA.map_id:
-                    self._do_merge(mcB, mcA, geo.sim3_inv(S_ba), cand, slot)
-                else:
-                    self._do_merge(mcA, mcB, S_ba, slot, cand)
-                return True
+                self._dispatch_verifies(tok)
         return False
 
-    def _verify_scan_token(self, tok):
-        """Floor + group + Sim3 verification of one fetched score batch.
-        Returns (slot_b, S_ba, cand_a) or None."""
+    def _dispatch_verifies(self, tok):
+        """Floor + group selection on one fetched score batch; DISPATCH the
+        Sim3 verification of each selected candidate (no fetch here)."""
         cfg = self.cfg
         mcB, mcA = tok["mcB"], tok["mcA"]
         scores_q, min_q, acc_q, nb_q = (np.asarray(x) for x in tok["out"])
@@ -414,11 +432,11 @@ class MultiMapper:
                 ls = lc_stage.compute_loop_sim3_cross(
                     cfg, mcB.map, mcA.map, jnp.int32(slot), jnp.int32(cand),
                     sub,
-                )
-                if bool(ls.success):
-                    return slot, ls.S_ba, cand
-                self._verify_cooldown[key] = self._pump_round
-        return None
+                )  # async: resolved at the NEXT pump
+                self._verify_pending.append({
+                    "mcB": mcB, "mcA": mcA, "slot": slot, "cand": cand,
+                    "ls": ls,
+                })
 
     def try_merge(self, tracker: RobotTracker, slot: int) -> bool:
         """Synchronous scan+verify of one keyframe (immediate-result path;

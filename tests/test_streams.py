@@ -169,8 +169,12 @@ def test_bank_cross_robot_merge_owner_follower():
             mm.process_frame(k, seq.images[starts[k] + j],
                              float(seq.timestamps[starts[k] + j]))
 
-    mesh = Mesh(np.array(jax.devices()[:2]), ("r",))
-    bank = ps.StreamBank(cfg, robots, mesh=mesh, chunk_size=CHUNK)
+    # unsharded on purpose: sharded execution permutes f32 reduction orders,
+    # which flips WHEN this marginal 320x240 scene's detection verifies —
+    # the robot-axis sharding itself is covered by
+    # test_stream_state_is_sharded / test_stream_bank_matches_single_stream;
+    # this test pins the deterministic owner/follower machinery
+    bank = ps.StreamBank(cfg, robots, chunk_size=CHUNK)
     bank.on_lost = lambda t: mm._handle_loss(t, 0.0)
     bank.on_chunk_end = mm.pump_merge_scans
     i = start
