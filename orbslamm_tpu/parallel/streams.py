@@ -336,7 +336,8 @@ class StreamBank:
         want_bow = token["want_bow"]
         R, C = len(self.trackers), timestamps.shape[1]
         tr = get_tracer()
-        s = jax.device_get(token["summaries"])  # ONE host sync, all streams
+        with tr.span("ms_fetch"):
+            s = jax.device_get(token["summaries"])  # ONE host sync, all streams
 
         all_recs = []
         kfs_per_robot: list[list[tuple[int, int]]] = []  # (slot, j)
@@ -425,7 +426,9 @@ class StreamBank:
                 continue  # merged away mid-finish; reconciled below
             mc = t.mapctx
             # keyframe-rate host events on this robot's slice
-            if mc.voc is not None or t.on_keyframe is not None:
+            if mc.voc is None and t.on_keyframe is None:
+                continue
+            with tr.span("ms_kf_events"):
                 if want_bow:
                     # BoW rows + candidate scores computed INSIDE the chunk
                     pre = {
@@ -463,7 +466,8 @@ class StreamBank:
         for t in self.trackers:
             t._in_chunk_finish = False
         if self.on_chunk_end is not None:
-            self.on_chunk_end()
+            with tr.span("ms_pump_scans"):
+                self.on_chunk_end()
         # merge reconciliation: every robot whose ACTIVE map changed during
         # this finish (the absorbed side of a cross-robot merge — the
         # absorbing owner's slice is refreshed by the pairing's
@@ -496,21 +500,24 @@ class StreamBank:
             slots = [s_ for s_, _j in kfs_per_robot[r]
                      if s_ >= self._follower_base_nkf.get(r, 0)]
             if slots:
-                self._replay_follower_kfs(r, o, slots)
-                self._refresh_shared(o)
+                with tr.span("ms_follower_replay"):
+                    self._replay_follower_kfs(r, o, slots)
+                with tr.span("ms_refresh_shared"):
+                    self._refresh_shared(o)
         # overlapped global BA: one slice per scheduled map per chunk
         for r, t in enumerate(self.trackers):
             if r in self.followers:
                 continue  # the owner runs the shared map's slices
             mc = t.mapctx
             if mc.gba_remaining > 0:
-                if self._dirty[r]:
-                    self._sync_tracker(r)
-                if mc.gba_slice():
-                    if any(ow == r for ow in self.followers.values()):
-                        self._refresh_shared(r)
-                    else:
-                        self.m_all = tree_set(self.m_all, r, mc.map)
+                with tr.span("ms_gba_slice"):
+                    if self._dirty[r]:
+                        self._sync_tracker(r)
+                    if mc.gba_slice():
+                        if any(ow == r for ow in self.followers.values()):
+                            self._refresh_shared(r)
+                        else:
+                            self.m_all = tree_set(self.m_all, r, mc.map)
         # loss hooks AFTER all state is consistent (the hook may switch maps)
         if self.on_lost is not None:
             for r in newly_lost:

@@ -222,12 +222,15 @@ def test_loop_edges_persist_and_constrain():
     if bool(ls2.success):
         m2 = lc.correct_loop(CFG, m1, jnp.int32(12), jnp.int32(9), ls2.S_ba)
     else:
-        # identity seam (already consistent) exercises the same path
+        # identity seam (already consistent) exercises the same path.
+        # correct_loop's convention: S_ba maps a-frame to b-frame
+        # (S_aw_corr = S_ba^-1 ∘ S_bw), so the consistent measurement is
+        # S_bw ∘ S_aw^-1 with a=12, b=9
         m2 = lc.correct_loop(
             CFG, m1, jnp.int32(12), jnp.int32(9),
             geo.sim3_from_se3(
-                jnp.asarray(np.asarray(m1.kf_pose[12])
-                            @ np.linalg.inv(np.asarray(m1.kf_pose[9])))
+                jnp.asarray(np.asarray(m1.kf_pose[9])
+                            @ np.linalg.inv(np.asarray(m1.kf_pose[12])))
             ),
         )
     le2 = np.asarray(m2.loop_edges)
@@ -258,6 +261,10 @@ def test_relocalization_group_recall_under_aliasing():
                         motion="strafe", kidnap_at=40, return_at=50)
     mc = MapContext(cfg)
     t = RobotTracker(cfg, mc, "reloc")
+    # the gentle strafe inserts only a couple of keyframes before the
+    # kidnap; without this the early-loss young-map reset (Tracking.cc:520)
+    # discards the map instead of exercising relocalization
+    t.auto_reset_young = False
     for i in range(40):
         t.process_frame(seq.images[i], float(seq.timestamps[i]))
     assert t.state == TrackingState.OK
