@@ -68,7 +68,74 @@ class FrameSummary(NamedTuple):
     loop_min_score: jax.Array | None = None  # minScore normalizer (f32)
 
 
-def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
+class ChunkKFEvents(NamedTuple):
+    """Keyframe events queued by a DEFERRED-mapping chunk (see
+    make_multistream_chunk_step): mapping for these frames ran in the
+    chunk's phase B, after all tracking."""
+
+    j: jax.Array  # [E] frame index within the chunk, -1 = empty slot
+    slot: jax.Array  # [E] keyframe slot
+    loop_scores: jax.Array | None = None  # [E, K]
+    loop_min_score: jax.Array | None = None  # [E]
+
+
+def _make_insert_fns(cfg: SlamConfig, with_bow: bool, have_ind: bool):
+    """The keyframe-insert + mapping-pipeline branch, shared by the
+    synchronous in-scan path and the deferred phase-B path.
+
+    Returns (insert, no_insert), each taking (voc, K, operand) with
+    operand = (m, ind, kf_bow, feats, feat_lm, T_cw, frame_id, timestamp,
+    slot) and returning (m, ind, kf_bow, loop_scores[K], loop_min)."""
+    Kcap = cfg.capacity.max_keyframes
+    min_gap = cfg.loop.kfs_between_loops
+
+    def no_scores():
+        return (jnp.full((Kcap,), -1.0, jnp.float32), jnp.float32(0.0))
+
+    def insert(voc, K, operand):
+        (m_in, ind_in, bow_in, feats_in, feat_lm_in, T_cw, frame_id,
+         timestamp, slot) = operand
+        m2 = ms.insert_keyframe(
+            m_in, slot, T_cw, K, feats_in, feat_lm_in, frame_id, timestamp
+        )
+        # full mapping pipeline with the carried [K, L] indicator
+        # threaded through all stages (triangulate → fuse → local BA →
+        # landmark/keyframe culling)
+        if have_ind:
+            m3, ind3 = lm_stage.process_new_keyframe_cached(cfg, m2, slot, ind_in)
+        else:
+            m3, ind3 = lm_stage.process_new_keyframe(cfg, m2, slot), ind_in
+        if not with_bow:
+            return m3, ind3, bow_in, *no_scores()
+        # BoW row of the new keyframe + loop-candidate scan, on device
+        words = bow_ops.assign_words(voc, feats_in.desc, feats_in.valid)
+        row = bow_ops.bow_vector(voc, words)
+        bow2 = bow_in.at[slot].set(row)
+        scores = bow_ops.bow_score(row, bow2)  # [K]
+        conn = (ind3 @ ind3[slot]) > 0 if have_ind else (
+            ms.covisibility(m3)[slot] > 0
+        )
+        ids = jnp.arange(Kcap, dtype=jnp.int32)
+        allowed = (
+            m3.kf_valid
+            & (ids != slot)
+            & ~conn
+            & (ids < slot - min_gap + 1)
+        )
+        cov_scores = jnp.where(conn & m3.kf_valid, scores, jnp.inf)
+        mn = jnp.minimum(jnp.min(cov_scores), 1.0)
+        mn = jnp.where(jnp.isfinite(mn), mn, 0.05)
+        return m3, ind3, bow2, jnp.where(allowed, scores, -1.0), mn
+
+    def no_insert(voc, K, operand):
+        m_in, ind_in, bow_in, *_ = operand
+        return m_in, ind_in, bow_in, *no_scores()
+
+    return insert, no_insert
+
+
+def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False,
+                     deferred: bool = False):
     """The traced per-frame body shared by the single-frame step and the
     chunked lax.scan step.
 
@@ -85,10 +152,22 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
     minScore (KeyFrameDatabase::DetectLoopCandidates + LoopClosing.cc:131)
     are emitted in the FrameSummary. This removes the per-chunk host
     dispatches/fetches for place recognition entirely: the host only runs
-    the (rare) Sim3 verification when a candidate clears the floor."""
+    the (rare) Sim3 verification when a candidate clears the floor.
+
+    ``deferred``: do NOT run the keyframe-insert/mapping branch inside the
+    body — only make the keyframe DECISION (gated by the extra ``can_kf``
+    argument: the chunk's event queue has room) and return the frame's
+    landmark associations so the chunk can replay queued events through the
+    mapping pipeline afterwards. This is what makes the body vmap-able at
+    reasonable cost: under vmap ``lax.cond`` lowers to ``select`` (both
+    branches execute for every frame), so the synchronous body pays the
+    full mapping pipeline per FRAME; the deferred body pays it per EVENT
+    (the reference's async LocalMapping consumes keyframes behind tracking
+    the same way, LocalMapping.cc:114-126). The body then returns
+    ``(m, ts, kf_bow, summary, feat_lm)``."""
 
     def step(m: ms.MapState, ts: TrackState, kf_bow, voc, image, frame_id,
-             timestamp, K, allow_kf=True):
+             timestamp, K, allow_kf=True, can_kf=True):
         # allow_kf: traced bool; False = localization-only mode (reference
         # System::ActivateLocalizationMode / Tracking::mbOnlyTracking —
         # track against the frozen map, never insert keyframes)
@@ -155,58 +234,27 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
         # associations carry extra aliasing risk (junk keyframes poison
         # triangulation and the BoW database)
         need_kf &= ~weak
+        if deferred:
+            # backpressure: the chunk's event queue is full — the reference's
+            # SetAcceptKeyFrames(false) makes Tracking skip insertion the
+            # same way (LocalMapping.cc:90, Tracking.cc:1049)
+            need_kf &= jnp.asarray(can_kf)
         slot = ts.n_kf
 
         have_ind = ts.obs_ind is not None
-        Kcap = cfg.capacity.max_keyframes
-        min_gap = cfg.loop.kfs_between_loops
-
-        def no_scores():
-            return (jnp.full((Kcap,), -1.0, jnp.float32), jnp.float32(0.0))
-
-        def insert(operand):
-            m_in, ind_in, bow_in, feats_in, feat_lm_in = operand
-            m2 = ms.insert_keyframe(
-                m_in, slot, r2.T_cw, K, feats_in, feat_lm_in, frame_id, timestamp
+        if deferred:
+            ind = ts.obs_ind
+            lscores = lmin = None
+        else:
+            insert, no_insert = _make_insert_fns(cfg, with_bow, have_ind)
+            ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
+            m, ind, kf_bow, lscores, lmin = jax.lax.cond(
+                need_kf,
+                functools.partial(insert, voc, K),
+                functools.partial(no_insert, voc, K),
+                (m, ind0, kf_bow, feats, r2.feat_lm, r2.T_cw, frame_id,
+                 timestamp, slot),
             )
-            # full mapping pipeline with the carried [K, L] indicator
-            # threaded through all stages (triangulate → fuse → local BA →
-            # landmark/keyframe culling)
-            if have_ind:
-                m3, ind3 = lm_stage.process_new_keyframe_cached(cfg, m2, slot, ind_in)
-            else:
-                m3, ind3 = lm_stage.process_new_keyframe(cfg, m2, slot), ind_in
-            if not with_bow:
-                return m3, ind3, bow_in, *no_scores()
-            # BoW row of the new keyframe + loop-candidate scan, on device
-            words = bow_ops.assign_words(voc, feats_in.desc, feats_in.valid)
-            row = bow_ops.bow_vector(voc, words)
-            bow2 = bow_in.at[slot].set(row)
-            scores = bow_ops.bow_score(row, bow2)  # [K]
-            conn = (ind3 @ ind3[slot]) > 0 if have_ind else (
-                ms.covisibility(m3)[slot] > 0
-            )
-            ids = jnp.arange(Kcap, dtype=jnp.int32)
-            allowed = (
-                m3.kf_valid
-                & (ids != slot)
-                & ~conn
-                & (ids < slot - min_gap + 1)
-            )
-            cov_scores = jnp.where(conn & m3.kf_valid, scores, jnp.inf)
-            mn = jnp.minimum(jnp.min(cov_scores), 1.0)
-            mn = jnp.where(jnp.isfinite(mn), mn, 0.05)
-            return m3, ind3, bow2, jnp.where(allowed, scores, -1.0), mn
-
-        def no_insert(operand):
-            m_in, ind_in, bow_in, *_ = operand
-            return m_in, ind_in, bow_in, *no_scores()
-
-        ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
-        m, ind, kf_bow, lscores, lmin = jax.lax.cond(
-            need_kf, insert, no_insert,
-            (m, ind0, kf_bow, feats, r2.feat_lm),
-        )
 
         # state update (frozen when tracking failed — host decides LOST)
         T_new = r2.T_cw
@@ -236,9 +284,11 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False):
             tracking_ok=ok,
             new_kf=need_kf,
             kf_slot=slot,
-            loop_scores=lscores if with_bow else None,
-            loop_min_score=lmin if with_bow else None,
+            loop_scores=lscores if (with_bow and not deferred) else None,
+            loop_min_score=lmin if (with_bow and not deferred) else None,
         )
+        if deferred:
+            return m, ts_next, kf_bow, summary, r2.feat_lm
         return m, ts_next, kf_bow, summary
 
     return step
@@ -328,3 +378,90 @@ def _chunk_body(body, extract_fn, m, ts, kf_bow, voc, images, frame_ids,
         scan_body, (m, ts, kf_bow), (feats_all, frame_ids, timestamps)
     )
     return m, ts, kf_bow, summaries
+
+
+def _chunk_body_deferred(cfg, body, extract_fn, m, ts, kf_bow, voc, images,
+                         frame_ids, timestamps, K, allow_kf,
+                         with_bow: bool, kmax: int):
+    """Two-phase chunk: tracking scan (phase A) + replay of at most ``kmax``
+    queued keyframe events through the mapping pipeline (phase B).
+
+    Built for the robot-vmapped multistream step: under vmap every
+    ``lax.cond`` lowers to ``select`` and BOTH branches execute, so the
+    synchronous in-scan mapping branch costs chunk_size× the mapping
+    pipeline per robot; here it costs ``kmax``× (≈ the actual keyframe
+    rate). Semantics follow the reference's ASYNC LocalMapping: frames
+    later in the chunk track against the map as of the chunk start, and the
+    queued keyframes are consumed in order afterwards
+    (LocalMapping.cc:114-126; keyframe backpressure Tracking.cc:1049)."""
+    feats_all = jax.vmap(extract_fn)(images)
+    C = frame_ids.shape[0]
+    ev_j0 = jnp.full((kmax,), -1, jnp.int32)
+    ev_slot0 = jnp.zeros((kmax,), jnp.int32)
+
+    def scan_body(carry, inp):
+        m, ts, kf_bow, ev_n, ev_j, ev_slot = carry
+        feats, fid, t, j = inp
+        can_kf = ev_n < kmax
+        m, ts, kf_bow, summary, feat_lm = body(
+            m, ts, kf_bow, voc, feats, fid, t, K, allow_kf, can_kf
+        )
+        new = summary.new_kf
+        ev_j = ev_j.at[ev_n].set(jnp.where(new, j, ev_j[ev_n]))
+        ev_slot = ev_slot.at[ev_n].set(
+            jnp.where(new, summary.kf_slot, ev_slot[ev_n])
+        )
+        ev_n = ev_n + new.astype(jnp.int32)
+        return (m, ts, kf_bow, ev_n, ev_j, ev_slot), (summary, feat_lm)
+
+    (m, ts, kf_bow, _, ev_j, ev_slot), (summaries, feat_lm_all) = jax.lax.scan(
+        scan_body,
+        (m, ts, kf_bow, jnp.int32(0), ev_j0, ev_slot0),
+        (feats_all, frame_ids, timestamps, jnp.arange(C, dtype=jnp.int32)),
+    )
+
+    # phase B: consume the event queue in order (conditional per event —
+    # cond-as-select costs kmax× mapping under vmap, not chunk_size×)
+    have_ind = ts.obs_ind is not None
+    insert, no_insert = _make_insert_fns(cfg, with_bow, have_ind)
+    ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
+    # landmark occupancy before any event: a later event's associations were
+    # captured in phase A, and an EARLIER event's culling may have freed
+    # (and its triangulation reused) those slots — keep only associations to
+    # landmarks alive both at queue time and now
+    lm_valid_start = m.lm_valid
+
+    def ev_body(carry, e):
+        m, ind, kf_bow = carry
+        j = ev_j[e]
+        valid = j >= 0
+        jj = jnp.maximum(j, 0)
+        feats_e = jax.tree.map(lambda a: a[jj], feats_all)
+        fl = feat_lm_all[jj]
+        safe = jnp.maximum(fl, 0)
+        fl = jnp.where(
+            (fl >= 0) & lm_valid_start[safe] & m.lm_valid[safe], fl, -1
+        )
+        operand = (m, ind, kf_bow, feats_e, fl,
+                   summaries.T_cw[jj], frame_ids[jj], timestamps[jj],
+                   ev_slot[e])
+        m, ind, kf_bow, scores, mn = jax.lax.cond(
+            valid,
+            functools.partial(insert, voc, K),
+            functools.partial(no_insert, voc, K),
+            operand,
+        )
+        return (m, ind, kf_bow), (scores, mn)
+
+    (m, ind, kf_bow), (ev_scores, ev_min) = jax.lax.scan(
+        ev_body, (m, ind0, kf_bow), jnp.arange(kmax)
+    )
+    if have_ind:
+        ts = ts._replace(obs_ind=ind)
+    events = ChunkKFEvents(
+        j=ev_j,
+        slot=ev_slot,
+        loop_scores=ev_scores if with_bow else None,
+        loop_min_score=ev_min if with_bow else None,
+    )
+    return m, ts, kf_bow, summaries, events

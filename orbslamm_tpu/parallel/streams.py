@@ -51,22 +51,30 @@ from orbslamm_tpu.utils.trace import get_tracer
 
 
 def make_multistream_chunk_step(cfg: SlamConfig, extract_fn,
-                                with_bow: bool = False):
+                                with_bow: bool = False, kmax: int = 3):
     """jit(vmap(chunk)) over a leading robot axis.
 
     Returns step(m[R,...], ts[R,...], kf_bow[R,K,W], K[R,3,3],
     images[R,C,H,W], frame_ids[R,C], timestamps[R,C], allow_kf[R], voc) ->
-    (m, ts, kf_bow, summaries[R,C]). With ``with_bow`` the per-keyframe BoW
-    database update + loop-candidate scan ride inside the program (the
-    shared vocabulary broadcasts across the robot axis); without it,
-    ``kf_bow`` is an [R] dummy passed through."""
-    body = fused._make_frame_body(cfg, extract_fn, with_bow=with_bow)
+    (m, ts, kf_bow, summaries[R,C], kf_events[R,kmax]). With ``with_bow``
+    the per-keyframe BoW database update + loop-candidate scan ride inside
+    the program (the shared vocabulary broadcasts across the robot axis);
+    without it, ``kf_bow`` is an [R] dummy passed through.
+
+    Uses the DEFERRED-mapping chunk body: under the robot vmap ``lax.cond``
+    lowers to ``select`` (both branches run for every frame), so the
+    synchronous body would pay the keyframe mapping pipeline chunk_size×
+    per robot — measured 7x the single-stream chunk cost. The deferred body
+    tracks all frames first and replays at most ``kmax`` queued keyframe
+    events through mapping afterwards (fused._chunk_body_deferred)."""
+    body = fused._make_frame_body(cfg, extract_fn, with_bow=with_bow,
+                                  deferred=True)
 
     def one_robot(m, ts, kf_bow, K, images, frame_ids, timestamps, allow_kf,
                   voc):
-        return fused._chunk_body(
-            body, extract_fn, m, ts, kf_bow, voc,
-            images, frame_ids, timestamps, K, allow_kf,
+        return fused._chunk_body_deferred(
+            cfg, body, extract_fn, m, ts, kf_bow, voc,
+            images, frame_ids, timestamps, K, allow_kf, with_bow, kmax,
         )
 
     vm = jax.vmap(one_robot, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))
@@ -310,14 +318,17 @@ class StreamBank:
         voc = self.trackers[0].mapctx.voc if want_bow else None
         tr = get_tracer()
         with tr.span("multistream_chunk", n_streams=R, chunk=C):
-            self.m_all, self.ts_all, bow_out, summaries = self._step(
-                self.m_all, self.ts_all, bow_in, self.K_all, imgs, fids,
-                stamps, allow, voc,
+            self.m_all, self.ts_all, bow_out, summaries, kf_events = (
+                self._step(
+                    self.m_all, self.ts_all, bow_in, self.K_all, imgs, fids,
+                    stamps, allow, voc,
+                )
             )
         if want_bow:
             self.bow_all = bow_out
         return {
             "summaries": summaries,
+            "kf_events": kf_events,
             "timestamps": np.asarray(timestamps, np.float64),
             "fid0s": fid0s,
             "want_bow": want_bow,
@@ -337,7 +348,8 @@ class StreamBank:
         R, C = len(self.trackers), timestamps.shape[1]
         tr = get_tracer()
         with tr.span("ms_fetch"):
-            s = jax.device_get(token["summaries"])  # ONE host sync, all streams
+            # ONE host sync, all streams (summaries + deferred kf events)
+            s, ev = jax.device_get((token["summaries"], token["kf_events"]))
 
         all_recs = []
         kfs_per_robot: list[list[tuple[int, int]]] = []  # (slot, j)
@@ -431,10 +443,12 @@ class StreamBank:
             with tr.span("ms_kf_events"):
                 if want_bow:
                     # BoW rows + candidate scores computed INSIDE the chunk
+                    # (phase B of the deferred body), keyed by keyframe slot
                     pre = {
-                        slot: (np.asarray(s.loop_scores[r, j]),
-                               float(s.loop_min_score[r, j]))
-                        for slot, j in new_kfs
+                        int(ev.slot[r, e]): (np.asarray(ev.loop_scores[r, e]),
+                                             float(ev.loop_min_score[r, e]))
+                        for e in range(ev.j.shape[1])
+                        if ev.j[r, e] >= 0
                     }
                 else:
                     mc.update_bow_rows([slot for slot, _ in new_kfs])

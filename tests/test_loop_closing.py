@@ -249,15 +249,19 @@ def test_relocalization_group_recall_under_aliasing():
     from orbslamm_tpu.io.synthetic import make_sequence
 
     cam = CFG.camera
+    # the feature/scene density the multimap kidnap tests track stably with
+    # (CFG's 300-feature config loses tracking mid-strafe before the kidnap)
     cfg = CFG.replace(
         vocabulary_path=None,
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        capacity=CapacityConfig(max_keyframes=64, max_landmarks=4096),
         tracking=TrackingConfig(
             pixel_noise=1.2, min_matches_init=55, init_min_triangulated=30,
             init_min_parallax_deg=0.4,
         ),
         multi_mapping=False,  # lost → relocalize (Tracking.cc:1404)
     )
-    seq = make_sequence(n_frames=70, n_points=1200, cam=cam, seed=9,
+    seq = make_sequence(n_frames=70, n_points=1400, cam=cam, seed=7,
                         motion="strafe", kidnap_at=40, return_at=50)
     mc = MapContext(cfg)
     t = RobotTracker(cfg, mc, "reloc")
