@@ -171,16 +171,22 @@ def _sim3_between_feature_sets(
     desc_b, angle_b, pb, has_b,
     desc_a, angle_a, pa, has_a,
     K_b, K_a, key,
+    fix_scale: bool = False,
 ):
-    """Two-stage relative Sim3 between two landmark-bearing feature sets
-    (3D points given in each keyframe's camera frame).
+    """Staged relative Sim3 between two landmark-bearing feature sets
+    (3D points given in each keyframe's camera frame), with the reference's
+    full acceptance ladder (MultiMapper.cc:209-362 / LoopClosing::ComputeSim3):
 
-    Stage 1: appearance matching + Sim3 RANSAC (SearchByBoW + Sim3Solver).
-    Stage 2: SearchBySim3 (ORBmatcher.cc:1104) — project each side's points
-    into the other camera through the current Sim3 estimate, match within a
-    window, then re-solve (Horn on inliers, the OptimizeSim3 analog) and
-    re-count. Rescues candidate pairs whose direct descriptor overlap is
-    small but whose geometric overlap is large.
+    Stage 1: appearance matching (SearchByBoW analog) — must yield at least
+      ``cfg.loop.min_bow_matches`` correspondences (MultiMapper.cc:214).
+    Stage 2: Sim3 RANSAC on the matches (Sim3Solver; ``fix_scale`` for
+      stereo/RGB-D sensors, Sim3Solver.cc:24-38).
+    Stage 3: SearchBySim3 harvest (ORBmatcher.cc:1104) then a nonlinear
+      bidirectional-projection refinement (Optimizer::OptimizeSim3 analog,
+      ba.sim3_refine) whose inlier count must reach
+      ``cfg.loop.min_sim3_inliers`` (MultiMapper.cc:306).
+    Stage 4: a second, refined-transform harvest; the TOTAL match count must
+      reach ``cfg.loop.min_total_matches`` (MultiMapper.cc:362).
     """
     res = matching.match(
         desc_b, desc_a, has_b, has_a,
@@ -208,7 +214,8 @@ def _sim3_between_feature_sets(
     consistent = res.ok & (rho > 0.7 * rho_med) & (rho < 1.43 * rho_med)
     sample_ok = jnp.where(consistent.sum() >= 8, consistent, res.ok)
     s3 = ransac.sim3_ransac(
-        pb, pa_m, sample_ok, K_b, K_a, key, min_inliers=8, n_hyp=256
+        pb, pa_m, sample_ok, K_b, K_a, key, min_inliers=8, n_hyp=256,
+        fix_scale=fix_scale,
     )
     S = s3.S21  # b-cam -> a-cam
 
@@ -244,7 +251,9 @@ def _sim3_between_feature_sets(
         med2 = jnp.where(jnp.isfinite(med2), med2, 1.0)
         cons2 = r2.ok & (rho2 > 0.7 * med2) & (rho2 < 1.43 * med2)
         fit_ok = jnp.where(cons2.sum() >= 8, cons2, r2.ok)
-        s_f, R_f, t_f = geo.umeyama_alignment(pb, pa2, mask=fit_ok)
+        s_f, R_f, t_f = geo.umeyama_alignment(
+            pb, pa2, mask=fit_ok, with_scale=not fix_scale
+        )
         S_new = geo.sim3_make(s_f, R_f, t_f)
         inl_old = count_inliers(S, pa2, r2.ok)
         inl_new = count_inliers(S_new, pa2, r2.ok)
@@ -253,21 +262,32 @@ def _sim3_between_feature_sets(
         inl1 = jnp.where(take, inl_new, inl_old)
         # one IRLS round: refit on the current inlier set
         s_2, R_2, t_2 = geo.umeyama_alignment(
-            pb, pa2, mask=inl1 & (inl1.sum() >= 4)
+            pb, pa2, mask=inl1 & (inl1.sum() >= 4), with_scale=not fix_scale
         )
         S2 = geo.sim3_make(s_2, R_2, t_2)
         inl2 = count_inliers(S2, pa2, r2.ok)
         take2 = inl2.sum() > inl1.sum()
         S_out = jnp.where(take2, S2, S1)
         inl = jnp.where(take2, inl2, inl1)
-        return S_out, inl
+        return S_out, inl, r2.ok, pa2
 
-    S, inl = extend(S, None)
-    S, inl = extend(S, None)
+    S, inl, r2_ok, pa2 = extend(S, None)
+    # OptimizeSim3 analog (Optimizer.cc:1349): nonlinear bidirectional
+    # projection refinement with inlier pruning; its inlier count is the
+    # reference's >=20 acceptance gate (MultiMapper.cc:306)
+    ref = ba.sim3_refine(S, pb, pa2, r2_ok, K_b, K_a, fix_scale=fix_scale)
+    n_opt = ref.n_inliers
+    S = jnp.where(n_opt >= inl.sum(), ref.S, S)
+    # second harvest at the refined transform; TOTAL matches is the
+    # reference's >=40 gate (MultiMapper.cc:362)
+    S, inl, r2_ok2, _ = extend(S, None)
     n = inl.sum().astype(jnp.int32)
-    success = s3.success | (n >= cfg.loop.min_sim3_inliers)
-    # require a minimum appearance-level support too
-    success &= (res.ok.sum() + n) >= cfg.loop.min_bow_matches
+    n_total = r2_ok2.sum().astype(jnp.int32)
+    success = (
+        (res.ok.sum() >= cfg.loop.min_bow_matches)
+        & (jnp.maximum(n_opt, n) >= cfg.loop.min_sim3_inliers)
+        & (n_total >= cfg.loop.min_total_matches)
+    )
     return success, S, n
 
 
@@ -291,6 +311,9 @@ def compute_loop_sim3(
         m.kf_desc[slot_a], m.kf_angle[slot_a], pa, has_a,
         m.kf_desc[slot_b], m.kf_angle[slot_b], pb, has_b,
         m.kf_K[slot_a], m.kf_K[slot_b], key,
+        # stereo/RGB-D sensors pin metric scale: the loop Sim3 must not
+        # rescale the map (Sim3Solver mbFixScale, LoopClosing.cc:237)
+        fix_scale=cfg.sensor != "mono",
     )
     return LoopSim3(success=success, S_ba=S, n_inliers=n)
 
@@ -369,7 +392,11 @@ def correct_loop(
         edge_valid=edge_ok,
         edge_weight=weight,
     )
-    S_new = ba.pose_graph_optimize(prob, iters=iters)
+    # CG budget scales with graph size: information propagates ~1 edge-hop
+    # per iteration, and big maps have proportionally longer spanning chains
+    S_new = ba.pose_graph_optimize(
+        prob, iters=iters, cg_iters=max(50, min(400, K // 2))
+    )
 
     # --- apply: poses ---
     T_new = jax.vmap(geo.sim3_to_se3)(S_new)
@@ -466,6 +493,7 @@ def compute_loop_sim3_cross(
         m_b.kf_desc[slot_b], m_b.kf_angle[slot_b], pb, has_b,
         m_a.kf_desc[slot_a], m_a.kf_angle[slot_a], pa, has_a,
         m_b.kf_K[slot_b], m_a.kf_K[slot_a], key,
+        fix_scale=cfg.sensor != "mono",
     )
     return LoopSim3(success=success, S_ba=S, n_inliers=n)
 

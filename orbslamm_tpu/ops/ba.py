@@ -671,15 +671,21 @@ def _pg_residual(S_i, S_j, M_ij):
 
 
 def pose_graph_optimize(
-    p: PoseGraphProblem, iters: int = 20, lam0: float = 1e-4
+    p: PoseGraphProblem, iters: int = 20, lam0: float = 1e-4,
+    cg_iters: int = 50,
 ) -> jax.Array:
-    """Dense LM over the Sim3 pose graph. Returns optimized S_iw [C,8].
+    """MATRIX-FREE LM over the Sim3 pose graph. Returns optimized S_iw [C,8].
 
     Jacobians are exact via per-edge forward-mode autodiff (14 tangent dims
-    per edge), assembled into a dense [7C,7C] system — essential graphs top
-    out at a few thousand nodes, well inside one chip's dense-solve budget.
+    per edge). The normal equations are never assembled: H·x is three
+    edge-wise segment ops ([E,7,7] blocks only), solved by preconditioned
+    CG with a block-Jacobi preconditioner from the exact node-diagonal
+    blocks. Memory is O(E·49) instead of the dense [7C,7C] — this is what
+    lets ``correct_loop`` run per loop closure on KITTI-00-scale maps
+    (C >= 1024, reference Optimizer.cc:1068 scale) inside the chunk budget.
     """
     C = p.S_iw.shape[0]
+    E = p.edge_i.shape[0]
 
     def edge_r(xi_i, xi_j, S_i, S_j, M):
         return _pg_residual(
@@ -690,11 +696,12 @@ def pose_graph_optimize(
 
     jac = jax.vmap(jax.jacfwd(edge_r, argnums=(0, 1)), in_axes=(0, 0, 0, 0, 0))
     res_f = jax.vmap(edge_r, in_axes=(0, 0, 0, 0, 0))
+    lock = p.node_fixed | ~p.node_valid
 
     def total_cost(S):
         r = res_f(
-            jnp.zeros((p.edge_i.shape[0], 7)),
-            jnp.zeros((p.edge_i.shape[0], 7)),
+            jnp.zeros((E, 7)),
+            jnp.zeros((E, 7)),
             S[p.edge_i],
             S[p.edge_j],
             p.edge_Sij,
@@ -706,28 +713,64 @@ def pose_graph_optimize(
         S, lam = carry
         Si = S[p.edge_i]
         Sj = S[p.edge_j]
-        zeros = jnp.zeros((p.edge_i.shape[0], 7))
+        zeros = jnp.zeros((E, 7))
         r = res_f(zeros, zeros, Si, Sj, p.edge_Sij)  # [E,7]
         Ji, Jj = jac(zeros, zeros, Si, Sj, p.edge_Sij)  # [E,7,7] each
         w = jnp.where(p.edge_valid, p.edge_weight, 0.0)
         wJi = Ji * w[:, None, None]
         wJj = Jj * w[:, None, None]
-        H = jnp.zeros((C, C, 7, 7))
-        H = H.at[p.edge_i, p.edge_i].add(jnp.einsum("eia,eib->eab", wJi, Ji))
-        H = H.at[p.edge_j, p.edge_j].add(jnp.einsum("eia,eib->eab", wJj, Jj))
-        H = H.at[p.edge_i, p.edge_j].add(jnp.einsum("eia,eib->eab", wJi, Jj))
-        H = H.at[p.edge_j, p.edge_i].add(jnp.einsum("eia,eib->eab", wJj, Ji))
+        # gradient + exact node-diagonal blocks (edge-wise scatter)
         g = jnp.zeros((C, 7))
         g = g.at[p.edge_i].add(jnp.einsum("eia,ei->ea", wJi, r))
         g = g.at[p.edge_j].add(jnp.einsum("eia,ei->ea", wJj, r))
-        Hm = H.transpose(0, 2, 1, 3).reshape(C * 7, C * 7)
-        lock = p.node_fixed | ~p.node_valid
-        lockv = jnp.repeat(lock, 7)
-        diag_scale = jnp.maximum(jnp.diagonal(Hm), 1.0)
-        Hm = Hm + jnp.diag((lam + 1e-6) * diag_scale)
-        Hm = jnp.where(lockv[:, None] | lockv[None, :], jnp.eye(C * 7), Hm)
-        gv = jnp.where(lockv, 0.0, g.reshape(-1))
-        dx = -jnp.linalg.solve(Hm, gv).reshape(C, 7)
+        Hd = jnp.zeros((C, 7, 7))
+        Hd = Hd.at[p.edge_i].add(jnp.einsum("eia,eib->eab", wJi, Ji))
+        Hd = Hd.at[p.edge_j].add(jnp.einsum("eia,eib->eab", wJj, Jj))
+        # LM damping on the diagonal blocks
+        dscale = jnp.maximum(
+            jnp.diagonal(Hd, axis1=-2, axis2=-1), 1.0
+        )  # [C,7]
+        damp = (lam + 1e-6) * dscale
+
+        def mv(x):  # [C,7] -> (H + damp) x with locked rows as identity
+            xi = x[p.edge_i]
+            xj = x[p.edge_j]
+            y = jnp.einsum("eab,eb->ea", Ji, xi) + jnp.einsum(
+                "eab,eb->ea", Jj, xj
+            )  # [E,7] J x
+            out = jnp.zeros((C, 7))
+            out = out.at[p.edge_i].add(jnp.einsum("eab,ea->eb", wJi, y))
+            out = out.at[p.edge_j].add(jnp.einsum("eab,ea->eb", wJj, y))
+            out = out + damp * x
+            return jnp.where(lock[:, None], x, out)
+
+        Hd_damped = Hd + jax.vmap(jnp.diag)(damp)
+        Hd_damped = jnp.where(lock[:, None, None], jnp.eye(7)[None], Hd_damped)
+        Minv = jnp.linalg.inv(Hd_damped + 1e-8 * jnp.eye(7)[None])
+
+        def precond(v):
+            return jnp.einsum("cab,cb->ca", Minv, v)
+
+        rhs = jnp.where(lock[:, None], 0.0, -g)
+
+        def cg_body(carry, _):
+            x, rr, pv, rz = carry
+            Ap = mv(pv)
+            alpha = rz / jnp.maximum(jnp.vdot(pv, Ap), 1e-12)
+            x = x + alpha * pv
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.vdot(rr, z)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            pv = z + beta * pv
+            return (x, rr, pv, rz_new), None
+
+        x0 = jnp.zeros((C, 7))
+        z0 = precond(rhs)
+        (dx, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, rhs, z0, jnp.vdot(rhs, z0)), None, length=cg_iters
+        )
+        dx = jnp.where(lock[:, None], 0.0, dx)
         S_new = jax.vmap(lambda d, s: geo.sim3_compose(geo.sim3_exp(d), s))(dx, S)
         S_new = jnp.where(lock[:, None], S, S_new)
         c_old = total_cost(S)
@@ -739,6 +782,117 @@ def pose_graph_optimize(
 
     (S, _), _ = jax.lax.scan(step, (p.S_iw, jnp.float32(lam0)), None, length=iters)
     return S
+
+
+class Sim3RefineResult(NamedTuple):
+    S: jax.Array  # [8] refined packed Sim3 (frame-1 points → frame-2 coords)
+    inliers: jax.Array  # [N] bool — both-direction chi2 survivors
+    n_inliers: jax.Array  # int32
+
+
+def sim3_refine(
+    S21: jax.Array,
+    pts1: jax.Array,  # [N,3] matched points in camera-1 coordinates
+    pts2: jax.Array,  # [N,3] matched points in camera-2 coordinates
+    valid: jax.Array,  # [N] match mask
+    K1: jax.Array,
+    K2: jax.Array,
+    sigma2: jax.Array | float = 1.0,
+    iters: int = 8,
+    chi2_th: float = 10.0,  # reference OptimizeSim3 th2 (Optimizer.cc:1451)
+    fix_scale: bool = False,
+) -> Sim3RefineResult:
+    """Nonlinear Sim3 refinement with BIDIRECTIONAL projection edges — the
+    reference Optimizer::OptimizeSim3 analog (Optimizer.cc:1349-1540):
+    each correspondence contributes a forward edge (point 1 projected
+    through S21 into image 2) and a backward edge (point 2 through S21^-1
+    into image 1), both Huber-robustified; Gauss-Newton on the 7-DoF tangent
+    (6-DoF when ``fix_scale``, the stereo/RGB-D mode of Sim3Solver.cc:24).
+    Inliers are correspondences whose BOTH edges pass ``chi2_th`` at the
+    refined transform (the reference prunes the same way, :1468-1489)."""
+    sigma2 = jnp.broadcast_to(jnp.asarray(sigma2, jnp.float32), valid.shape)
+    inv_s2 = 1.0 / sigma2
+    uv1 = geo.project(K1, pts1)
+    uv2 = geo.project(K2, pts2)
+    delta = jnp.sqrt(chi2_th)
+
+    def residuals(S):
+        p12 = geo.sim3_apply(S, pts1)
+        r_f = geo.project(K2, p12) - uv2  # [N,2]
+        p21 = geo.sim3_apply(geo.sim3_inv(S), pts2)
+        r_b = geo.project(K1, p21) - uv1  # [N,2]
+        return r_f, r_b, p12[..., 2], p21[..., 2]
+
+    def step(carry, _):
+        S, lam = carry
+
+        def r_of(xi):
+            Sx = geo.sim3_compose(geo.sim3_exp(xi), S)
+            r_f, r_b, _, _ = residuals(Sx)
+            return jnp.concatenate([r_f, r_b], axis=-1)  # [N,4]
+
+        zero = jnp.zeros((7,))
+        r = r_of(zero)
+        J = jax.jacfwd(r_of)(zero)  # [N,4,7]
+        if fix_scale:
+            J = J.at[..., 6].set(0.0)
+        r_f, r_b, z_f, z_b = residuals(S)
+        use = valid & (z_f > 1e-3) & (z_b > 1e-3)
+        # independent Huber weight per direction (two g2o edges per match);
+        # residuals far beyond the Huber zone are TRUNCATED — gross outliers
+        # near the image plane carry enormous Jacobians that linear Huber
+        # downweighting cannot tame (the reference prunes such edges between
+        # its two optimize(5) passes, Optimizer.cc:1468-1489)
+        nf = jnp.sqrt(jnp.sum(r_f * r_f, -1) * inv_s2 + 1e-12)
+        nb = jnp.sqrt(jnp.sum(r_b * r_b, -1) * inv_s2 + 1e-12)
+        w_f = jnp.where(nf > delta, delta / nf, 1.0) * inv_s2
+        w_b = jnp.where(nb > delta, delta / nb, 1.0) * inv_s2
+        w_f = jnp.where(nf > 6.0 * delta, 0.0, w_f)
+        w_b = jnp.where(nb > 6.0 * delta, 0.0, w_b)
+        w4 = jnp.concatenate(
+            [jnp.stack([w_f, w_f], -1), jnp.stack([w_b, w_b], -1)], -1
+        ) * use[:, None]  # [N,4]
+        Jw = J * w4[..., None]
+        H = jnp.einsum("nia,nib->ab", Jw, J) + 1e-6 * jnp.eye(7)
+        g = jnp.einsum("nia,ni->a", Jw, r)
+        H = H + lam * jnp.diag(jnp.diag(H))
+        if fix_scale:
+            H = H.at[6, 6].set(1.0)
+        dx = -jnp.linalg.solve(H, g)
+        if fix_scale:
+            dx = dx.at[6].set(0.0)
+        S_new = geo.sim3_compose(geo.sim3_exp(dx), S)
+
+        def cost(S_):
+            rf, rb, zf, zb = residuals(S_)
+            c2f = jnp.sum(rf * rf, -1) * inv_s2
+            c2b = jnp.sum(rb * rb, -1) * inv_s2
+            cap = 36.0 * chi2_th  # truncation radius (matches the weights)
+
+            def hub(c2):
+                h = jnp.where(
+                    c2 <= chi2_th, c2, 2.0 * delta * jnp.sqrt(c2) - chi2_th
+                )
+                return jnp.minimum(h, 2.0 * delta * jnp.sqrt(cap) - chi2_th)
+
+            ok = valid & (zf > 1e-3) & (zb > 1e-3)
+            return jnp.sum(jnp.where(ok, hub(c2f) + hub(c2b), 0.0))
+
+        better = (cost(S_new) < cost(S)) & jnp.isfinite(S_new).all()
+        S = jnp.where(better, S_new, S)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e4))
+        return (S, lam), None
+
+    (S, _), _ = jax.lax.scan(
+        step, (S21, jnp.float32(1e-4)), None, length=iters
+    )
+    r_f, r_b, z_f, z_b = residuals(S)
+    c2f = jnp.sum(r_f * r_f, -1) * inv_s2
+    c2b = jnp.sum(r_b * r_b, -1) * inv_s2
+    inl = valid & (c2f < chi2_th) & (c2b < chi2_th) & (z_f > 1e-3) & (z_b > 1e-3)
+    return Sim3RefineResult(S=S, inliers=inl,
+                            n_inliers=inl.sum().astype(jnp.int32))
 
 
 def bundle_adjust_cg(

@@ -132,6 +132,58 @@ def test_sim3_ransac():
     assert int(res.n_inliers) >= 95
 
 
+def test_sim3_refine_improves_noisy_estimate():
+    """OptimizeSim3 analog (ba.sim3_refine): starting from a perturbed Sim3,
+    bidirectional projective refinement recovers the true transform and its
+    inlier classification survives outliers (Optimizer.cc:1349-1540)."""
+    n = 150
+    p1 = RNG.uniform(-2, 2, (n, 3)).astype(np.float32)
+    p1[:, 2] += 8.0
+    s_gt = 1.5
+    R_gt = np.asarray(geo.so3_exp(jnp.asarray([0.05, 0.3, -0.1], jnp.float32)))
+    # scale is observable through projection only via the translation term
+    # (u = fx (sRp + t)_x / (sRp + t)_z) — give the pair real baseline
+    t_gt = np.array([2.0, -1.0, 3.0], np.float32)
+    p2 = (s_gt * p1 @ R_gt.T + t_gt).astype(np.float32)
+    p2[:25] = RNG.uniform(-2, 2, (25, 3)).astype(np.float32) + [0, 0, 8]
+    S_gt = geo.sim3_make(jnp.float32(s_gt), jnp.asarray(R_gt), jnp.asarray(t_gt))
+    # perturb the start: exp of a sizable tangent
+    xi = jnp.asarray([0.05, -0.03, 0.06, 0.02, -0.04, 0.03, 0.08], jnp.float32)
+    S0 = geo.sim3_compose(geo.sim3_exp(xi), S_gt)
+    res = ba.sim3_refine(
+        S0, jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool), K, K,
+    )
+    s, R, t = geo.sim3_parts(res.S)
+    assert abs(float(s) - s_gt) < 0.02, float(s)
+    assert np.linalg.norm(np.asarray(R) - R_gt) < 0.02
+    assert np.linalg.norm(np.asarray(t) - t_gt) < 0.1
+    assert int(res.n_inliers) >= 120  # the 25 outliers pruned
+    assert not bool(res.inliers[:25].any())
+
+
+def test_sim3_refine_fix_scale():
+    """Stereo/RGB-D mode: scale is pinned at its input value
+    (Sim3Solver.cc:24-38 mbFixScale)."""
+    n = 100
+    p1 = RNG.uniform(-2, 2, (n, 3)).astype(np.float32)
+    p1[:, 2] += 8.0
+    R_gt = np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.2, 0.0], jnp.float32)))
+    t_gt = np.array([0.3, 0.0, 0.5], np.float32)
+    p2 = (p1 @ R_gt.T + t_gt).astype(np.float32)  # pure SE3 (scale 1)
+    S0 = geo.sim3_make(
+        jnp.float32(1.0), jnp.asarray(R_gt),
+        jnp.asarray(t_gt + np.array([0.1, -0.05, 0.0], np.float32)),
+    )
+    res = ba.sim3_refine(
+        S0, jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool), K, K,
+        fix_scale=True,
+    )
+    s, _, t = geo.sim3_parts(res.S)
+    assert abs(float(s) - 1.0) < 1e-5, "fix_scale must keep scale exactly"
+    assert np.linalg.norm(np.asarray(t) - t_gt) < 0.05
+    assert int(res.n_inliers) >= 95
+
+
 def test_pose_optimize_converges():
     pts, T2, _, uv2, inlier_gt = make_scene(outlier_frac=0.25, noise=0.5)
     # perturb GT pose as initialization (motion-model style)
