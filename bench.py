@@ -60,7 +60,12 @@ def _cfg():
                        cy=249.7, fps=30)
     return SlamConfig(
         camera=cam,
-        orb=OrbConfig(n_features=1000, max_keypoints=2048),
+        # init_features 4000: the sprite renderer's wide-baseline feature
+        # SELECTION churn (not matching) caps init matches — a 4000-feature
+        # init budget re-selects enough common structure to clear the
+        # reference's 100-match bar at >=1 deg parallax
+        orb=OrbConfig(n_features=1000, max_keypoints=2048,
+                      init_features=4000),
         capacity=CapacityConfig(max_keyframes=128, max_landmarks=8192),
         tracking=TrackingConfig(pixel_noise=1.2),
         # production-scale vocabulary (10^4 words, the truncated-ORBvoc
@@ -126,8 +131,10 @@ def bench_single(cfg, seed=7):
     fps = n_meas / wall
     fps_median = CHUNK / float(np.median(chunk_times))
 
+    from orbslamm_tpu.models.system import resolve_frame_poses
+
     ok = [f for f in sess.tracker.frames if f.state == "OK"]
-    est = np.stack([f.T_cw for f in ok])
+    est = np.stack(resolve_frame_poses(ok))
     idx = [int(round(f.timestamp * cfg.camera.fps)) for f in ok]
     ate = ate_from_poses(est, seq.poses_cw[idx])
     return {"fps": round(fps, 2), "fps_median": round(fps_median, 2),
@@ -142,19 +149,13 @@ def bench_multi(cfg, n_points=2500, seed=21):
     from orbslamm_tpu.models.system import TrackingState
     from orbslamm_tpu.parallel import streams as ps
 
-    # the rendered strafe scene gives ~30 level-0 matches between
-    # consecutive views — the reference's fixed 100-match init bar makes
-    # BOOTSTRAP eat most of the phase's wall budget (each per-frame init
-    # attempt is host-driven); a 60-match bar with the geometric gates
-    # unchanged initializes in a handful of frames at the same final ATE
-    import dataclasses
-
-    cfg = cfg.replace(tracking=dataclasses.replace(
-        cfg.tracking, min_matches_init=60, init_min_triangulated=35,
-    ))
-    n_total = 168
-    half = 104
-    starts = [0, n_total - half]  # 40-frame overlap
+    # reference-strength constants throughout: the 100-match init bar
+    # (Tracking.cc:640) and the 15/20/40 merge gates (LoopConfig defaults)
+    # are NOT lowered here — this phase certifies the system at the
+    # reference's own thresholds (VERDICT r4 weak #4)
+    n_total = 440
+    half = 280
+    starts = [0, n_total - half]  # 120-frame overlap
     seq = make_sequence(n_frames=n_total, n_points=n_points, cam=cfg.camera,
                         seed=seed, motion="strafe")
     mm = MultiMapper(cfg)
@@ -217,32 +218,40 @@ def bench_multi(cfg, n_points=2500, seed=21):
     mm.flush_merge_scans()  # drain the deferred scan pipeline
     # per-stream fps from the MEDIAN chunk time (the reference reports
     # median per-frame tracking time for the same reason,
-    # mono_kitti_dif-Seq.cc:213-221): the ONE-TIME merge event — dominated
-    # by first-compilation of the merged-map programs in a fresh process —
-    # lands inside this short measured window and is reported separately
-    fps_stream = CHUNK / float(np.median(chunk_times))
-    fps_stream_mean = n_meas / float(np.sum(chunk_times))
+    # mono_kitti_dif-Seq.cc:213-221); the p50/p90/max split exposes the
+    # stall distribution (merge + first-compilation chunks) explicitly
+    ct = np.asarray(chunk_times)
+    fps_stream = CHUNK / float(np.median(ct))
+    fps_p90 = CHUNK / float(np.percentile(ct, 90))
+    fps_stream_mean = n_meas / float(np.sum(ct))
     merged = bool(mm.merges)
     ate = None
     if merged:
         # union ATE under ONE Sim3 alignment: certifies a consistent
-        # merged map across both robots' trajectories
+        # merged map across both robots' trajectories. Poses are resolved
+        # through reference keyframes so pre-merge/pre-GBA frames ride all
+        # corrections (System.cc:470-499)
+        from orbslamm_tpu.models.system import resolve_frame_poses
+
         mid = robots[0].mapctx.map_id
         est_c, gt_c = [], []
         for k, t in enumerate(robots):
-            for f in t.frames:
-                if f.state == "OK" and f.map_id == mid:
-                    R = f.T_cw[:3, :3]
-                    tv = f.T_cw[:3, 3]
-                    est_c.append(-R.T @ tv)
-                    g = seq.poses_cw[int(round(f.timestamp * cfg.camera.fps))]
-                    gt_c.append(-g[:3, :3].T @ g[:3, 3])
+            ok = [f for f in t.frames
+                  if f.state == "OK" and f.map_id == mid]
+            for f, T in zip(ok, resolve_frame_poses(ok)):
+                R = T[:3, :3]
+                tv = T[:3, 3]
+                est_c.append(-R.T @ tv)
+                g = seq.poses_cw[int(round(f.timestamp * cfg.camera.fps))]
+                gt_c.append(-g[:3, :3].T @ g[:3, 3])
         if len(est_c) >= 10:
             ate = round(float(ate_rmse(np.stack(est_c), np.stack(gt_c))), 4)
     return {
         "fps_per_stream": round(fps_stream, 2),
         "fps_per_stream_mean": round(fps_stream_mean, 2),
-        "max_chunk_s": round(float(np.max(chunk_times)), 2),
+        "fps_per_stream_p90": round(fps_p90, 2),
+        "max_chunk_s": round(float(np.max(ct)), 2),
+        "n_chunks_measured": len(chunk_times),
         "n_streams": 2,
         "merged": merged,
         "merged_ate_rmse_m": ate,

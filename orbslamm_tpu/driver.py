@@ -164,11 +164,15 @@ def save_outputs(mm: MultiMapper, out_dir: str | Path) -> None:
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    from orbslamm_tpu.models.system import resolve_frame_poses
+
     for r in mm.robots:
         ok = [f for f in r.frames if f.state == "OK"]
         if ok:
             stamps = np.asarray([f.timestamp for f in ok])
-            poses = np.stack([f.T_cw for f in ok])
+            # save-time reconstruction through reference keyframes
+            # (System.cc:470-499): frames ride all corrections
+            poses = np.stack(resolve_frame_poses(ok))
             tio.save_tum(out / f"{r.name}_frames_tum.txt", stamps, poses)
             tio.save_kitti(out / f"{r.name}_frames_kitti.txt", poses)
     for mc in mm.live_maps():

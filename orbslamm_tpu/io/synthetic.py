@@ -180,6 +180,7 @@ def make_sequence(
     stereo: bool = False,
     with_depth: bool = False,
     stamp_pool: int | None = None,
+    path_scale: float = 1.0,
 ) -> SyntheticSequence:
     """Generate a rendered sequence with ground-truth poses.
 
@@ -193,10 +194,17 @@ def make_sequence(
     return_at — teleport BACK and re-traverse the original path from its
                 start (the fr2_360_kidnap scenario: the second map's
                 keyframes revisit the first map's region → cross-map merge).
+    path_scale — stretch the trajectory (and the landmark field with it):
+                the default paths are a few meters, so LONG sequences
+                (KITTI-00-class frame counts) would otherwise squeeze
+                per-frame motion toward zero; scaling keeps real motion per
+                frame while the trajectory grows.
     """
     cam = cam or CameraConfig()
     rng = np.random.default_rng(seed)
-    pts = make_landmark_field(n_points, seed=seed)
+    extent = 12.0 * max(1.0, 0.35 * path_scale)
+    pts = make_landmark_field(n_points, extent=extent,
+                              depth_range=(4.0, 14.0), seed=seed)
     if kidnap_at is not None:
         # second landmark field at the teleport destination so the camera
         # still sees structure there (a brand-new map gets built on it)
@@ -228,10 +236,14 @@ def make_sequence(
         else:
             s = i / max(n_frames - 1, 1)
         if motion == "strafe":
-            C = np.array([2.5 * s, 0.4 * np.sin(4 * s), 0.5 * s], np.float32)
+            C = path_scale * np.array(
+                [2.5 * s, 0.4 * np.sin(4 * s), 0.5 * s], np.float32
+            )
             Rwc = _rot_y(0.15 * s) @ _rot_x(0.05 * np.sin(3 * s))
         elif motion == "forward":
-            C = np.array([0.3 * np.sin(2 * s), 0.0, 3.5 * s], np.float32)
+            C = path_scale * np.array(
+                [0.3 * np.sin(2 * s), 0.0, 3.5 * s], np.float32
+            )
             Rwc = _rot_y(0.25 * np.sin(2 * s))
         elif motion == "orbit":
             ang = 0.8 * s
@@ -241,7 +253,9 @@ def make_sequence(
             # out along the strafe path and back to the start — a loop-
             # closure trajectory: the return leg revisits earlier viewpoints
             sb = 1.0 - abs(2.0 * s - 1.0)
-            C = np.array([2.5 * sb, 0.4 * np.sin(4 * sb), 0.5 * sb], np.float32)
+            C = path_scale * np.array(
+                [2.5 * sb, 0.4 * np.sin(4 * sb), 0.5 * sb], np.float32
+            )
             Rwc = _rot_y(0.15 * sb) @ _rot_x(0.05 * np.sin(3 * sb))
         else:
             raise ValueError(motion)

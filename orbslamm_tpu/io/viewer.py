@@ -126,6 +126,12 @@ class LiveViewer:
                         t._sync_from_ts()
                         t.localization_only = on
                     self._send(200, "text/plain", b"ok")
+                elif self.path.startswith("/multimapping/"):
+                    # reference Viewer menu "Multi-Mapping" toggle →
+                    # Tracking::InformMultiMapping (Viewer.cc:131-152)
+                    on = self.path.endswith("/on")
+                    viewer.mm.set_multi_mapping(on)
+                    self._send(200, "text/plain", b"ok")
                 else:
                     self._send(404, "text/plain", b"unknown")
 

@@ -51,6 +51,12 @@ class TrackState(NamedTuple):
     # scatter) is avoided — insert refreshes one row and the mapping
     # stages maintain the rest (local_mapping.process_new_keyframe_cached)
     obs_ind: jax.Array = None  # [K,L] f32
+    # pose of the NEWEST keyframe, carried so the per-frame reference-KF
+    # decomposition (FrameSummary.ref_slot/T_rel) works mid-chunk in the
+    # deferred body, where a just-minted keyframe's pose is not yet written
+    # into m.kf_pose. Relative transforms are world-invariant, so a carried
+    # copy is exact as long as it is rebased together with T_cw/last_T.
+    last_kf_T: jax.Array = None  # [4,4]
 
 
 class FrameSummary(NamedTuple):
@@ -59,6 +65,12 @@ class FrameSummary(NamedTuple):
     tracking_ok: jax.Array  # bool
     new_kf: jax.Array  # bool
     kf_slot: jax.Array  # i32 (valid when new_kf)
+    # reference-keyframe pose decomposition (System.cc:470-499): the frame
+    # pose is recorded RELATIVE to the newest keyframe (T_cw = T_rel @
+    # T_ref), so trajectory export composes against the CURRENT corrected
+    # keyframe pose and every frame rides later loop/GBA/merge corrections
+    ref_slot: jax.Array = None  # i32 — keyframe slot the pose is relative to
+    T_rel: jax.Array = None  # [4,4] camera-from-refKF
     # in-chunk loop-candidate scan (KeyFrameDatabase::DetectLoopCandidates
     # computed ON DEVICE at keyframe insertion — no extra dispatch/fetch):
     # [K] BoW similarity per database keyframe, -1 where inadmissible
@@ -258,6 +270,15 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False,
 
         # state update (frozen when tracking failed — host decides LOST)
         T_new = r2.T_cw
+        # reference-KF decomposition: relative to the newest keyframe BEFORE
+        # this frame (or to this frame's own new keyframe → identity); the
+        # carried last_kf_T covers keyframes minted earlier in this chunk
+        ref_prev = jnp.maximum(ts.n_kf - 1, 0)
+        last_kf_T = ts.last_kf_T if ts.last_kf_T is not None else m.kf_pose[ref_prev]
+        ref_slot = jnp.where(need_kf, slot, ref_prev)
+        T_rel = jnp.where(
+            need_kf, jnp.eye(4), T_new @ geo.T_inv(last_kf_T)
+        )
         vel = T_new @ geo.T_inv(ts.last_T)
         ts_next = TrackState(
             T_cw=jnp.where(ok, T_new, ts.T_cw),
@@ -277,6 +298,18 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False,
             n_kf=jnp.where(need_kf, ts.n_kf + 1, ts.n_kf),
             lost=lost_next,
             obs_ind=ind if have_ind else None,
+            # the synchronous body refreshes the carried reference-KF pose
+            # from the POST-mapping map (local BA refined it inside the
+            # insert branch); the deferred body inserts in phase B, which
+            # re-syncs last_kf_T itself after its mapping replay
+            last_kf_T=(
+                jnp.where(
+                    need_kf,
+                    T_new if deferred else m.kf_pose[slot],
+                    last_kf_T,
+                )
+                if ts.last_kf_T is not None else None
+            ),
         )
         summary = FrameSummary(
             T_cw=T_new,
@@ -284,6 +317,8 @@ def _make_frame_body(cfg: SlamConfig, extract_fn, with_bow: bool = False,
             tracking_ok=ok,
             new_kf=need_kf,
             kf_slot=slot,
+            ref_slot=ref_slot,
+            T_rel=T_rel,
             loop_scores=lscores if (with_bow and not deferred) else None,
             loop_min_score=lmin if (with_bow and not deferred) else None,
         )
@@ -302,7 +337,11 @@ def rebase_track_state(ts: TrackState, T_kf_old: jax.Array,
     chain T_rel = T_cw @ inv(T_kf_old), T_cw' = T_rel @ T_kf_new (the
     reference recovers frame poses the same way, System.cc:470-499)."""
     A = geo.T_inv(T_kf_old) @ T_kf_new
-    return ts._replace(T_cw=ts.T_cw @ A, last_T=ts.last_T @ A)
+    return ts._replace(
+        T_cw=ts.T_cw @ A,
+        last_T=ts.last_T @ A,
+        last_kf_T=ts.last_kf_T @ A if ts.last_kf_T is not None else None,
+    )
 
 
 def make_frame_step(cfg: SlamConfig, extract_fn, K: jax.Array):
@@ -382,22 +421,29 @@ def _chunk_body(body, extract_fn, m, ts, kf_bow, voc, images, frame_ids,
 
 def _chunk_body_deferred(cfg, body, extract_fn, m, ts, kf_bow, voc, images,
                          frame_ids, timestamps, K, allow_kf,
-                         with_bow: bool, kmax: int):
-    """Two-phase chunk: tracking scan (phase A) + replay of at most ``kmax``
-    queued keyframe events through the mapping pipeline (phase B).
+                         with_bow: bool, kmax: int, seg_len: int = 4):
+    """Segmented two-phase chunk: the chunk is split into ceil(C/seg_len)
+    SEGMENTS, each a tracking scan (phase A, queueing at most ``kmax``
+    keyframe events) followed by a mapping replay of its queue (phase B).
 
     Built for the robot-vmapped multistream step: under vmap every
     ``lax.cond`` lowers to ``select`` and BOTH branches execute, so the
     synchronous in-scan mapping branch costs chunk_size× the mapping
-    pipeline per robot; here it costs ``kmax``× (≈ the actual keyframe
-    rate). Semantics follow the reference's ASYNC LocalMapping: frames
-    later in the chunk track against the map as of the chunk start, and the
-    queued keyframes are consumed in order afterwards
+    pipeline per robot; here it costs (segments × kmax)× (≈ the actual
+    keyframe rate). Segmenting bounds the LANDMARK LATENCY — a keyframe's
+    triangulated landmarks become trackable within ``seg_len`` frames
+    instead of a whole chunk, which is what keeps fast-moving streams from
+    starving mid-chunk. Semantics follow the reference's ASYNC
+    LocalMapping: frames track against the map as of their segment start,
+    and queued keyframes are consumed in order at the segment boundary
     (LocalMapping.cc:114-126; keyframe backpressure Tracking.cc:1049)."""
     feats_all = jax.vmap(extract_fn)(images)
     C = frame_ids.shape[0]
-    ev_j0 = jnp.full((kmax,), -1, jnp.int32)
-    ev_slot0 = jnp.zeros((kmax,), jnp.int32)
+    seg_len = min(seg_len, C)
+    assert C % seg_len == 0, "chunk size must be a multiple of seg_len"
+    n_seg = C // seg_len
+    have_ind = ts.obs_ind is not None
+    insert, no_insert = _make_insert_fns(cfg, with_bow, have_ind)
 
     def scan_body(carry, inp):
         m, ts, kf_bow, ev_n, ev_j, ev_slot = carry
@@ -414,54 +460,85 @@ def _chunk_body_deferred(cfg, body, extract_fn, m, ts, kf_bow, voc, images,
         ev_n = ev_n + new.astype(jnp.int32)
         return (m, ts, kf_bow, ev_n, ev_j, ev_slot), (summary, feat_lm)
 
-    (m, ts, kf_bow, _, ev_j, ev_slot), (summaries, feat_lm_all) = jax.lax.scan(
-        scan_body,
-        (m, ts, kf_bow, jnp.int32(0), ev_j0, ev_slot0),
-        (feats_all, frame_ids, timestamps, jnp.arange(C, dtype=jnp.int32)),
-    )
-
-    # phase B: consume the event queue in order (conditional per event —
-    # cond-as-select costs kmax× mapping under vmap, not chunk_size×)
-    have_ind = ts.obs_ind is not None
-    insert, no_insert = _make_insert_fns(cfg, with_bow, have_ind)
-    ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
-    # landmark occupancy before any event: a later event's associations were
-    # captured in phase A, and an EARLIER event's culling may have freed
-    # (and its triangulation reused) those slots — keep only associations to
-    # landmarks alive both at queue time and now
-    lm_valid_start = m.lm_valid
-
-    def ev_body(carry, e):
-        m, ind, kf_bow = carry
-        j = ev_j[e]
-        valid = j >= 0
-        jj = jnp.maximum(j, 0)
-        feats_e = jax.tree.map(lambda a: a[jj], feats_all)
-        fl = feat_lm_all[jj]
-        safe = jnp.maximum(fl, 0)
-        fl = jnp.where(
-            (fl >= 0) & lm_valid_start[safe] & m.lm_valid[safe], fl, -1
+    sum_parts, ev_parts = [], []
+    for g in range(n_seg):
+        lo = g * seg_len
+        sl = slice(lo, lo + seg_len)
+        feats_seg = jax.tree.map(lambda a: a[sl], feats_all)
+        ev_j0 = jnp.full((kmax,), -1, jnp.int32)
+        ev_slot0 = jnp.zeros((kmax,), jnp.int32)
+        (m, ts, kf_bow, _, ev_j, ev_slot), (summaries, feat_lm_all) = (
+            jax.lax.scan(
+                scan_body,
+                (m, ts, kf_bow, jnp.int32(0), ev_j0, ev_slot0),
+                (feats_seg, frame_ids[sl], timestamps[sl],
+                 jnp.arange(lo, lo + seg_len, dtype=jnp.int32)),
+            )
         )
-        operand = (m, ind, kf_bow, feats_e, fl,
-                   summaries.T_cw[jj], frame_ids[jj], timestamps[jj],
-                   ev_slot[e])
-        m, ind, kf_bow, scores, mn = jax.lax.cond(
-            valid,
-            functools.partial(insert, voc, K),
-            functools.partial(no_insert, voc, K),
-            operand,
-        )
-        return (m, ind, kf_bow), (scores, mn)
 
-    (m, ind, kf_bow), (ev_scores, ev_min) = jax.lax.scan(
-        ev_body, (m, ind0, kf_bow), jnp.arange(kmax)
+        # phase B: consume the segment's event queue in order (conditional
+        # per event — cond-as-select costs kmax× mapping under vmap).
+        # Landmark occupancy before any event: a later event's associations
+        # were captured in phase A, and an EARLIER event's culling may have
+        # freed (and its triangulation reused) those slots — keep only
+        # associations to landmarks alive both at queue time and now.
+        ind0 = ts.obs_ind if have_ind else jnp.zeros((), jnp.float32)
+        lm_valid_start = m.lm_valid
+
+        def ev_body(carry, e, ev_j=ev_j, ev_slot=ev_slot,
+                    summaries=summaries, feat_lm_all=feat_lm_all,
+                    lm_valid_start=lm_valid_start, lo=lo):
+            m, ind, kf_bow = carry
+            j = ev_j[e]
+            valid = j >= 0
+            jj = jnp.maximum(j - lo, 0)  # segment-local index
+            feats_e = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, jnp.maximum(j, 0), keepdims=False
+                ),
+                feats_all,
+            )
+            fl = feat_lm_all[jj]
+            safe = jnp.maximum(fl, 0)
+            fl = jnp.where(
+                (fl >= 0) & lm_valid_start[safe] & m.lm_valid[safe], fl, -1
+            )
+            operand = (m, ind, kf_bow, feats_e, fl,
+                       summaries.T_cw[jj], frame_ids[jnp.maximum(j, 0)],
+                       timestamps[jnp.maximum(j, 0)], ev_slot[e])
+            m, ind, kf_bow, scores, mn = jax.lax.cond(
+                valid,
+                functools.partial(insert, voc, K),
+                functools.partial(no_insert, voc, K),
+                operand,
+            )
+            return (m, ind, kf_bow), (scores, mn)
+
+        (m, ind, kf_bow), (ev_scores, ev_min) = jax.lax.scan(
+            ev_body, (m, ind0, kf_bow), jnp.arange(kmax)
+        )
+        if have_ind:
+            ts = ts._replace(obs_ind=ind)
+        if ts.last_kf_T is not None:
+            # re-sync the carried reference-KF pose with its POST-mapping
+            # value: phase B's local BA refined the inserted keyframes, and
+            # later frames' T_rel must compose against the refined pose or
+            # export-time resolution inherits the stale-vs-refined delta
+            ts = ts._replace(
+                last_kf_T=m.kf_pose[jnp.maximum(ts.n_kf - 1, 0)]
+            )
+        sum_parts.append(summaries)
+        ev_parts.append(ChunkKFEvents(
+            j=ev_j,
+            slot=ev_slot,
+            loop_scores=ev_scores if with_bow else None,
+            loop_min_score=ev_min if with_bow else None,
+        ))
+
+    summaries = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *sum_parts
     )
-    if have_ind:
-        ts = ts._replace(obs_ind=ind)
-    events = ChunkKFEvents(
-        j=ev_j,
-        slot=ev_slot,
-        loop_scores=ev_scores if with_bow else None,
-        loop_min_score=ev_min if with_bow else None,
+    events = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *ev_parts
     )
     return m, ts, kf_bow, summaries, events

@@ -217,11 +217,24 @@ def insert_keyframe(
     )
 
 
-def free_lm_slots(m: MapState, n: int) -> jax.Array:
-    """[n] int32 indices of free landmark slots (top-n least-valid)."""
-    # invalid slots get highest priority; among invalid prefer low index
+def free_lm_slots(m: MapState, n: int, by_value: bool = False) -> jax.Array:
+    """[n] int32 indices of free landmark slots (top-n least-valid).
+
+    With ``by_value``, occupied slots are ranked by landmark VALUE (found
+    ratio, MapPoint::GetFoundRatio): if the pool overflows and occupied
+    slots must be handed out (merge transplant into a tight pool), the
+    worst-performing landmarks are sacrificed first instead of arbitrary
+    ones."""
     L = m.lm_valid.shape[0]
-    key = jnp.where(m.lm_valid, -1e9, -jnp.arange(L, dtype=jnp.float32))
+    if by_value:
+        ratio = m.lm_found.astype(jnp.float32) / jnp.maximum(
+            m.lm_visible.astype(jnp.float32), 1.0
+        )
+        occupied_key = -1e6 - 1e3 * ratio
+    else:
+        occupied_key = jnp.full((L,), -1e9)
+    key = jnp.where(m.lm_valid, occupied_key,
+                    -jnp.arange(L, dtype=jnp.float32))
     _, idx = jax.lax.top_k(key, n)
     return idx.astype(jnp.int32)
 

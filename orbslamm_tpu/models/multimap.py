@@ -39,6 +39,7 @@ class MergeResult(NamedTuple):
     map: ms.MapState
     lm_remap: jax.Array  # [L_B] int32 — B landmark id → merged slot (-1 dropped)
     S_AB: jax.Array  # packed sim3: base-world ← absorbed-world
+    n_evicted: jax.Array  # i32 — A landmarks evicted to make room for B's
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -61,9 +62,24 @@ def merge_maps(
     s_AB, R_AB, _ = geo.sim3_parts(S_AB)
 
     # --- landmarks -------------------------------------------------------
+    # value-aware slot assignment: free slots first; if the pool overflows,
+    # A's WORST landmarks (lowest found ratio) are evicted rather than B's
+    # being silently dropped. Evicted slots' old observations are cleared
+    # from A's keyframes so they cannot alias onto the transplanted points.
     LB = mB.lm_pos.shape[0]
-    slots = ms.free_lm_slots(mA, LB)  # LB candidate slots in A
-    use = mB.lm_valid & ~mA.lm_valid[slots]
+    LA_pool = mA.lm_valid.shape[0]
+    slots = ms.free_lm_slots(mA, LB, by_value=True)
+    use = mB.lm_valid
+    evict = use & mA.lm_valid[slots]
+    n_evicted = evict.sum().astype(jnp.int32)
+    evict_mask = jnp.zeros((LA_pool,), bool).at[
+        jnp.where(evict, slots, LA_pool)
+    ].set(True, mode="drop")
+    dangling = (mA.kf_obs_lm >= 0) & evict_mask[jnp.maximum(mA.kf_obs_lm, 0)]
+    mA = mA._replace(
+        kf_obs_lm=jnp.where(dangling, -1, mA.kf_obs_lm),
+        lm_valid=mA.lm_valid & ~evict_mask,
+    )
     lm_remap = jnp.where(use, slots, -1)
     pos_A = geo.sim3_apply(S_AB, mB.lm_pos)
     normal_A = jnp.einsum("ij,lj->li", R_AB, mB.lm_normal)
@@ -138,7 +154,8 @@ def merge_maps(
     mA = mA._replace(
         loop_edges=a_sorted.at[rows].set(b_sorted, mode="drop")
     )
-    return MergeResult(map=mA, lm_remap=lm_remap, S_AB=S_AB)
+    return MergeResult(map=mA, lm_remap=lm_remap, S_AB=S_AB,
+                       n_evicted=n_evicted)
 
 
 class MultiMapper:
@@ -157,6 +174,10 @@ class MultiMapper:
             self.voc = MapContext.load_vocabulary_file(cfg)
         self._key = jax.random.key(1)
         self.merges: list[tuple] = []
+        # runtime multi-mapping toggle (reference Viewer menu "Multi-Mapping"
+        # → Tracking::InformMultiMapping, Viewer.cc:131-152): OFF = loss
+        # relocalizes instead of spawning a new map
+        self.multi_mapping_enabled = cfg.multi_mapping
         # per-map newest→oldest rescan cursor (the MultiMapper.cc:124 walk,
         # amortized across keyframe events)
         self._rescan_cursor: dict[int, int] = {}
@@ -201,9 +222,18 @@ class MultiMapper:
         tr = get_tracer()
         with tr.span("track", robot=t.name):
             rec = t.process_frame(image, timestamp)
-        if t.state == TrackingState.LOST and self.cfg.multi_mapping:
+        if t.state == TrackingState.LOST and self.multi_mapping_enabled:
             self._handle_loss(t, float(timestamp))
         return rec
+
+    def set_multi_mapping(self, on: bool):
+        """Runtime toggle (the reference's Viewer "Multi-Mapping" menu →
+        InformMultiMapping): OFF makes a lost robot relocalize against its
+        current map instead of spawning a new one."""
+        self.multi_mapping_enabled = bool(on)
+        for t in self.robots:
+            t.reloc_on_loss = not on
+        get_tracer().event("multi_mapping_toggled", on=bool(on))
 
     def process_frames(self, robot_idx: int, images, timestamps):
         """Pipelined chunked driver: chunk k+1 is dispatched before chunk
@@ -247,6 +277,8 @@ class MultiMapper:
         return recs
 
     def _handle_loss(self, t: RobotTracker, timestamp: float):
+        if not self.multi_mapping_enabled:
+            return  # relocalization path owns the loss (reloc_on_loss)
         tr = get_tracer()
         if t.mapctx.n_kf >= self.cfg.tracking.min_kfs_for_new_map:
             # keep the orphan map; continue mapping in a brand-new one
@@ -256,11 +288,14 @@ class MultiMapper:
             tr.event("new_map_on_loss", robot=t.name,
                      map_id=t.mapctx.map_id, ts=timestamp)
         else:
-            # early loss → reset the young map (Tracking.cc:520-528)
+            # early loss → reset the young map (Tracking.cc:520-528); the
+            # fresh map_id orphans the discarded generation's records so
+            # they can never be resolved/transformed against the new map
             t.mapctx.map = ms.empty_map(self.cfg)
             t.mapctx.n_kf = 0
             if t.mapctx.kf_bow is not None:
                 t.mapctx.kf_bow = jnp.zeros_like(t.mapctx.kf_bow)
+            t.mapctx.renew_id()
             t.switch_map(t.mapctx)
 
     # -- keyframe hook: vocabulary + merge scan ----------------------------
@@ -461,13 +496,23 @@ class MultiMapper:
             jnp.int32(nA),
         )
         mcA.map = res.map
+        n_evicted = int(res.n_evicted)
+        if n_evicted:
+            tr = get_tracer()
+            tr.event("merge_landmarks_evicted", base=mcA.map_id,
+                     absorbed=mcB.map_id, n_evicted=n_evicted)
         merged_slot_b = nA + slot_b
         mcA.n_kf = nA + mcB.n_kf
-        # anchor for owner-side rebase: A's newest keyframe — the essential
-        # graph + GBA below move A's map under any robot tracking it; its
-        # tracking state must ride the correction (System.cc:470-499 Tcr)
+        # anchors for post-correction rebases: the essential graph + GBA
+        # below move the merged map under every camera. A-side robots ride
+        # A's newest keyframe; B-side robots must ride THEIR OWN transplanted
+        # newest keyframe — the seam correction moves the B cluster by the
+        # full inter-map drift, which A's anchor knows nothing about
+        # (System.cc:470-499 Tcr semantics, per side).
         anchor = nA - 1
+        anchor_b = nA + mcB.n_kf - 1
         T_anchor_before = np.asarray(mcA.map.kf_pose[anchor])
+        T_anchor_b_before = np.asarray(mcA.map.kf_pose[anchor_b])
         # BoW rows of the absorbed keyframes (appearance is unchanged)
         mcA.kf_bow = jax.lax.dynamic_update_slice(
             mcA.kf_bow, jax.lax.dynamic_slice(
@@ -502,12 +547,24 @@ class MultiMapper:
                 r.T_cw = jnp.asarray(np.asarray(r.T_cw) @ A_delta)
                 r.last_T = r.T_cw
                 r.prev_inliers = 0  # collapse gate disarmed for one frame
-        # switch every robot that tracked B onto the merged map
+        # switch every robot that tracked B onto the merged map; after the
+        # S_AB adoption their poses are in PRE-correction merged coordinates
+        # — thread the B-anchor's essential-graph/GBA movement through
+        T_anchor_b_after = np.asarray(mcA.map.kf_pose[anchor_b])
+        B_delta = np.linalg.inv(T_anchor_b_before) @ T_anchor_b_after
         for r in self.robots:
             if r.mapctx is mcB:
                 r.adopt_merged_map(mcA, res.S_AB, res.lm_remap)
-        # transform B's recorded frame trajectory into A's world
+                r.T_cw = jnp.asarray(np.asarray(r.T_cw) @ B_delta)
+                r.last_T = r.T_cw
+        # transform B's recorded frame trajectory into A's world: the frozen
+        # absolute poses ride the Sim3, and the reference-KF decomposition
+        # is re-pointed at the transplanted keyframe slots (slot += n_kf_A)
+        # with its relative translation rescaled by the merge scale — after
+        # this, B-era frames resolve against A's CURRENT keyframe poses and
+        # ride every later correction (System.cc:470-499 semantics)
         S_inv = geo.sim3_inv(res.S_AB)
+        s_AB = float(geo.sim3_parts(res.S_AB)[0])
         for r in self.robots:
             for f in r.frames:
                 if f.map_id == mcB.map_id and f.state == "OK":
@@ -516,6 +573,12 @@ class MultiMapper:
                     )
                     f.T_cw = np.asarray(geo.sim3_to_se3(S))
                     f.map_id = mcA.map_id
+                    if f.ref_slot >= 0:
+                        f.ref_slot += nA
+                    if f.T_rel is not None:
+                        T = np.array(f.T_rel)
+                        T[:3, 3] *= s_AB
+                        f.T_rel = T
         mcB.merged_into = mcA
         self.merges.append((mcB.map_id, mcA.map_id, slot_b, slot_a))
 

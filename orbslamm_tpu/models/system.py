@@ -90,20 +90,104 @@ def _create_initial_map(
     return m
 
 
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("m_out",))
+def _truncate_init(ref: Features, cur: Features, match_idx, points1, inliers,
+                   m_out: int):
+    """Reduce an oversized init extraction (OrbConfig.init_features >
+    max_keypoints) to the map's per-frame capacity, keeping ALL two-view
+    inliers first and back-filling by response. Returns (ref', cur',
+    match_idx', points1', inliers') with [m_out] shapes."""
+    Mi = ref.valid.shape[0]
+    # reference side: inliers outrank everything, then response
+    key_r = jnp.where(inliers & ref.valid, 1e6 + ref.response,
+                      jnp.where(ref.valid, ref.response, -1e9))
+    _, idx_r = jax.lax.top_k(key_r, m_out)
+    inl2 = inliers[idx_r]
+    pts2 = points1[idx_r]
+    ref2 = jax.tree.map(lambda a: a[idx_r] if a is not None else None, ref)
+    # current side: matched partners of kept inliers outrank everything
+    partner = jnp.zeros((Mi,), bool).at[
+        jnp.where(inl2, match_idx[idx_r], Mi)
+    ].set(True, mode="drop")
+    key_c = jnp.where(partner, 1e6 + cur.response,
+                      jnp.where(cur.valid, cur.response, -1e9))
+    _, idx_c = jax.lax.top_k(key_c, m_out)
+    cur2 = jax.tree.map(lambda a: a[idx_c] if a is not None else None, cur)
+    inv = jnp.full((Mi,), m_out, jnp.int32).at[idx_c].set(
+        jnp.arange(m_out, dtype=jnp.int32)
+    )
+    idx2 = inv[match_idx[idx_r]]
+    inl2 &= idx2 < m_out
+    idx2 = jnp.minimum(idx2, m_out - 1)
+    return ref2, cur2, idx2, pts2, inl2
+
+
 @dataclass
 class FrameRecord:
     frame_id: int
     timestamp: float
-    T_cw: np.ndarray
+    T_cw: np.ndarray  # absolute pose frozen at record time (fallback)
     state: str
     n_inliers: int
     map_id: int = 0
+    # reference-keyframe decomposition (System.cc:470-499): when set, the
+    # frame's EXPORT pose is T_rel @ <current pose of keyframe ref_slot> so
+    # the whole trajectory rides later loop/GBA/merge corrections. -1 =
+    # no reference (bootstrap frames, orphaned followers) → frozen T_cw.
+    ref_slot: int = -1
+    T_rel: np.ndarray | None = None
+
+
+def resolve_frame_poses(frames) -> list[np.ndarray]:
+    """Export-time pose recovery through reference keyframes (the
+    reference's SaveTrajectory* Tcr-chain, System.cc:470-499). For each
+    record: T_rel @ current kf_pose[ref_slot] of the record's map when the
+    reference keyframe still exists, else the frozen absolute pose. Maps
+    are found through the MapContext registry by record map_id."""
+    by_map: dict[int, list[int]] = {}
+    for i, f in enumerate(frames):
+        by_map.setdefault(f.map_id, []).append(i)
+    out: list[np.ndarray] = [f.T_cw for f in frames]
+    for mid, idxs in by_map.items():
+        mc = MapContext.registry().get(mid)
+        if mc is None:
+            continue
+        kf_pose = None
+        for i in idxs:
+            f = frames[i]
+            if f.state != "OK" or f.T_rel is None or f.ref_slot < 0:
+                continue
+            if f.ref_slot >= mc.n_kf:
+                continue
+            if kf_pose is None:  # one fetch per map
+                kf_pose = np.asarray(mc.map.kf_pose)
+                kf_valid = np.asarray(mc.map.kf_valid)
+            if not kf_valid[f.ref_slot]:
+                continue  # culled reference keyframe → frozen fallback
+            out[i] = np.asarray(f.T_rel) @ kf_pose[f.ref_slot]
+    return out
 
 
 class MapContext:
     """One map (Map + KeyFrameDatabase + mapping stages)."""
 
     _next_id = 0
+    _registry = None  # map_id -> MapContext (weak), for record resolution
+
+    @classmethod
+    def registry(cls) -> "weakref.WeakValueDictionary":
+        import weakref
+
+        if cls._registry is None:
+            cls._registry = weakref.WeakValueDictionary()
+        return cls._registry
 
     def __init__(self, cfg: SlamConfig, voc: bow.Vocabulary | None = None):
         self.cfg = cfg
@@ -111,6 +195,7 @@ class MapContext:
         self.n_kf = 0
         self.map_id = MapContext._next_id
         MapContext._next_id += 1
+        MapContext.registry()[self.map_id] = self
         self.voc = voc
         self.kf_bow = None
         if voc is None and cfg.vocabulary_path:
@@ -140,6 +225,9 @@ class MapContext:
         self.gba_max_slices = 12
         self.gba_slice_iters = 2
         self._gba_last_cost = None
+        # device scalar of the most recent slice's cost, resolved ONE slice
+        # late so a slice dispatch never blocks the host on GBA compute
+        self._gba_cost_pending = None
         self.merged_into: "MapContext | None" = None
         # (T_anchor_before, T_anchor_after) of the latest merge correction —
         # consumed by the StreamBank's shared refresh to rebase device
@@ -152,6 +240,15 @@ class MapContext:
     def _alloc_bow(self):
         K_cap = self.map.kf_pose.shape[0]
         self.kf_bow = jnp.zeros((K_cap, self.voc.n_words), jnp.float32)
+
+    def renew_id(self):
+        """A young-map reset discards the map's content; records made in
+        the old generation must NOT resolve against (or be transformed
+        with) the new one — retire the old id and take a fresh one."""
+        MapContext.registry().pop(self.map_id, None)
+        self.map_id = MapContext._next_id
+        MapContext._next_id += 1
+        MapContext.registry()[self.map_id] = self
 
     # -- keyframe insertion + mapping stages ------------------------------
     def insert_keyframe(self, T_cw, K, feats: Features, feat_lm, frame_id,
@@ -362,26 +459,13 @@ class MapContext:
         abort-and-restart of its background GBA thread."""
         self.gba_remaining = self.gba_max_slices
         self._gba_last_cost = first_cost
+        self._gba_cost_pending = None
 
-    def gba_slice(self) -> bool:
-        """Run one overlapped global-BA slice if any are scheduled. Returns
-        True when a slice ran. Called at chunk boundaries — the TPU-shaped
-        equivalent of the reference's background GBA thread making progress
-        between keyframe insertions. ADAPTIVE: the slice's final cost is
-        read back, and the schedule stops as soon as the relative
-        improvement stalls (no wasted slices on a small map, enough on a
-        big merged one — replaces a fixed slice count)."""
-        if self.gba_remaining <= 0:
-            return False
+    def gba_resolve_cost(self, cost: float) -> None:
+        """Adaptive convergence bookkeeping from a slice's (asynchronously
+        fetched) final cost: stop the schedule when relative improvement
+        stalls — no wasted slices on a small map, enough on a merged one."""
         tr = get_tracer()
-        with tr.span("gba_slice", map_id=self.map_id,
-                     remaining=self.gba_remaining):
-            self.map, cost_d = lc_stage.global_bundle_adjust(
-                self.cfg, self.map, iters=self.gba_slice_iters
-            )
-        cost = float(cost_d)
-        self.gba_remaining -= 1
-        tr.incr("gba_slices")
         if (
             self._gba_last_cost is not None
             and cost >= self._gba_last_cost * (1.0 - 1e-3)
@@ -390,6 +474,29 @@ class MapContext:
                      slices_left=self.gba_remaining)
             self.gba_remaining = 0
         self._gba_last_cost = cost
+
+    def gba_slice(self) -> bool:
+        """Run one overlapped global-BA slice if any are scheduled. Returns
+        True when a slice ran. Called at chunk boundaries — the TPU-shaped
+        equivalent of the reference's background GBA thread making progress
+        between keyframe insertions. NON-BLOCKING: the dispatch returns
+        immediately; the slice's cost is resolved at the NEXT boundary
+        (by which time the device has finished it), so the host never
+        stalls on GBA compute."""
+        if self._gba_cost_pending is not None:
+            cost = float(self._gba_cost_pending)  # ready: computed last slice
+            self._gba_cost_pending = None
+            self.gba_resolve_cost(cost)
+        if self.gba_remaining <= 0:
+            return False
+        tr = get_tracer()
+        with tr.span("gba_slice", map_id=self.map_id,
+                     remaining=self.gba_remaining):
+            self.map, self._gba_cost_pending = lc_stage.global_bundle_adjust(
+                self.cfg, self.map, iters=self.gba_slice_iters
+            )
+        self.gba_remaining -= 1
+        tr.incr("gba_slices")
         return True
 
     def summary(self) -> dict:
@@ -408,13 +515,26 @@ class RobotTracker:
         self.state = TrackingState.NO_IMAGES_YET
         self.frames: list[FrameRecord] = []
         self.K = jnp.asarray(cfg.camera.K())
-        n2 = min(2 * cfg.orb.n_features, cfg.orb.max_keypoints)
+        if cfg.orb.init_features:
+            # explicit init budget — may exceed the map's per-frame feature
+            # capacity; _try_initialize truncates back to max_keypoints
+            n2 = cfg.orb.init_features
+            cap2 = max(cfg.orb.max_keypoints, _pow2_at_least(n2))
+        else:
+            n2 = min(2 * cfg.orb.n_features, cfg.orb.max_keypoints)
+            cap2 = cfg.orb.max_keypoints
         self.extract = orb_ops.make_extractor(cfg.orb, cfg.camera)
-        self.extract_init = orb_ops.make_extractor(cfg.orb, cfg.camera, n_features=n2)
+        self.extract_init = orb_ops.make_extractor(
+            cfg.orb, cfg.camera, n_features=n2, max_keypoints=cap2
+        )
         self._key = jax.random.key(zlib.crc32(name.encode()))
         self._reset_tracking()
         self.frame_id = -1
         self.on_keyframe = None  # callback(tracker, slot) — MultiMapper hook
+        # set by MultiMapper.set_multi_mapping(False): loss relocalizes even
+        # though a MultiMapper owns this tracker (runtime toggle analog of
+        # Tracking::InformMultiMapping)
+        self.reloc_on_loss = False
         # True while a chunk-finish event loop runs: tells the MultiMapper
         # hook to only ENQUEUE merge scans (the pump runs once per chunk)
         self._in_chunk_finish = False
@@ -459,6 +579,7 @@ class RobotTracker:
         self.last_kf_inliers = 0
         self.peak_inliers_since_kf = 0
         self.prev_inliers = 0  # collapse-gate reference (0 disables the gate)
+        self._last_ref = (-1, None)  # (ref_slot, T_rel) of the latest frame
 
     def switch_map(self, mapctx: MapContext):
         """ORBSLAMM SwitchMap: point the tracker at a (new or merged) map."""
@@ -483,6 +604,7 @@ class RobotTracker:
                 mc.kf_bow = jnp.zeros_like(mc.kf_bow)
             get_tracer().event("early_loss_reset", map_id=mc.map_id,
                                robot=self.name)
+            mc.renew_id()
             self.switch_map(mc)
 
     def _sync_from_ts(self):
@@ -501,7 +623,29 @@ class RobotTracker:
         self.prev_inliers = int(t.prev_inliers)
         self._ts = None
 
+    def _empty_feats(self) -> Features:
+        """Structural stand-in when no frame has been tracked yet (all
+        invalid): bank TrackStates must keep a uniform pytree structure."""
+        M = self.cfg.orb.max_keypoints
+        stereoish = self.cfg.sensor != "mono"
+        return Features(
+            xy=jnp.zeros((M, 2), jnp.float32),
+            xy_raw=jnp.zeros((M, 2), jnp.float32),
+            angle=jnp.zeros((M,), jnp.float32),
+            response=jnp.zeros((M,), jnp.float32),
+            level=jnp.zeros((M,), jnp.int32),
+            desc=jnp.zeros((M, 32), jnp.uint8),
+            valid=jnp.zeros((M,), bool),
+            u_right=jnp.full((M,), -1.0, jnp.float32) if stereoish else None,
+            depth=jnp.full((M,), -1.0, jnp.float32) if stereoish else None,
+        )
+
     def _make_ts(self) -> fused.TrackState:
+        if self.last_feats is None:
+            self.last_feats = self._empty_feats()
+            self.last_lm = jnp.full(
+                (self.cfg.orb.max_keypoints,), -1, jnp.int32
+            )
         return fused.TrackState(
             T_cw=self.T_cw,
             velocity=self.velocity,
@@ -519,6 +663,9 @@ class RobotTracker:
             # init, reloc, loop correction, merge); the fused chunk maintains
             # it incrementally across keyframe inserts
             obs_ind=ms.lm_indicator(self.mapctx.map),
+            last_kf_T=self.mapctx.map.kf_pose[
+                jnp.maximum(jnp.int32(self.mapctx.n_kf) - 1, 0)
+            ],
         )
 
     def adopt_merged_map(self, mapctx: MapContext, S_new_from_old: jax.Array, lm_remap):
@@ -570,8 +717,18 @@ class RobotTracker:
         if not bool(init.success):
             return
         mc = self.mapctx
+        ref_f, cur_f, match_idx = self._ref, feats, res.idx
+        M_map = cfg.orb.max_keypoints
+        if int(ref_f.valid.shape[0]) > M_map:
+            # oversized init extraction: keep all inliers + best-response
+            # fill, back at the map's per-frame feature capacity
+            ref_f, cur_f, match_idx, pts2, inl2 = _truncate_init(
+                ref_f, cur_f, match_idx, init.points1, init.inliers, M_map
+            )
+            init = init._replace(points1=pts2, inliers=inl2)
+            feats = cur_f
         mc.map = _create_initial_map(
-            cfg, mc.map, self._ref, feats, res.idx, init, self.K,
+            cfg, mc.map, ref_f, cur_f, match_idx, init, self.K,
             self._ref_meta[0], self.frame_id, self._ref_meta[1], timestamp,
         )
         mc.n_kf = 2
@@ -586,6 +743,7 @@ class RobotTracker:
         self.prev_inliers = 0
         self.state = TrackingState.OK
         self.frames_since_kf = 0
+        self._last_ref = (1, np.eye(4))  # this frame IS keyframe 1
         for s in (0, 1):
             self.mapctx.update_bow_row(s)
 
@@ -619,6 +777,7 @@ class RobotTracker:
         self.prev_inliers = 0
         self.state = TrackingState.OK
         self.frames_since_kf = 0
+        self._last_ref = (0, np.eye(4))  # this frame IS keyframe 0
         mc.update_bow_row(0)
 
     # -- stereo / RGB-D public API (System::TrackStereo / TrackRGBD) -------
@@ -663,9 +822,15 @@ class RobotTracker:
                 self._maybe_reset_young_map()
         elif self.state == TrackingState.LOST and (
             not self.cfg.multi_mapping or self.localization_only
+            or self.on_keyframe is None or self.reloc_on_loss
         ):
+            # relocalize when loss handling is unowned: multi-mapping's
+            # new-map-on-loss belongs to a MultiMapper (which installs the
+            # on_keyframe hook); a standalone System falls back to the
+            # reference's Relocalization path (Tracking.cc:1404)
             feats = attach_depth(self.extract(img))
             n_inl = self._try_relocalize(feats)
+        ok_now = self.state == TrackingState.OK
         rec = FrameRecord(
             frame_id=self.frame_id,
             timestamp=timestamp,
@@ -673,6 +838,8 @@ class RobotTracker:
             state=self.state.name,
             n_inliers=n_inl,
             map_id=self.mapctx.map_id,
+            ref_slot=self._last_ref[0] if ok_now else -1,
+            T_rel=self._last_ref[1] if ok_now else None,
         )
         self.frames.append(rec)
         return rec
@@ -720,6 +887,7 @@ class RobotTracker:
             slot = mc.insert_keyframe(
                 self.T_cw, self.K, feats, r2.feat_lm, self.frame_id, timestamp
             )
+            self._last_ref = (slot, np.eye(4))
             self.last_kf_inliers = n2
             self.peak_inliers_since_kf = n2
             self.frames_since_kf = 0
@@ -731,6 +899,12 @@ class RobotTracker:
                 self.velocity = jnp.eye(4)
             if self.on_keyframe is not None:
                 self.on_keyframe(self, slot)
+        else:
+            ref = self.mapctx.n_kf - 1
+            self._last_ref = (
+                ref,
+                np.asarray(self.T_cw @ geo.T_inv(self.mapctx.map.kf_pose[ref])),
+            )
         return n2
 
     def _try_relocalize(self, feats: Features) -> int:
@@ -786,6 +960,11 @@ class RobotTracker:
             self.frames_since_kf = 0
             self.peak_inliers_since_kf = int(r2.n_inliers)
             self.prev_inliers = 0
+            ref = mc.n_kf - 1
+            self._last_ref = (
+                ref,
+                np.asarray(self.T_cw @ geo.T_inv(mc.map.kf_pose[ref])),
+            )
             return int(r2.n_inliers)
         return 0
 
@@ -809,8 +988,10 @@ class RobotTracker:
         n_inl = int(s.n_inliers)
         self.T_cw = jnp.asarray(s.T_cw)
         if not bool(s.tracking_ok):
+            self._last_ref = (-1, None)
             self._sync_from_ts()
             return 0  # signal tracking failure regardless of raw inlier count
+        self._last_ref = (int(s.ref_slot), np.asarray(s.T_rel))
         if bool(s.new_kf):
             slot = int(s.kf_slot)
             mc.n_kf = slot + 1
@@ -958,6 +1139,8 @@ class RobotTracker:
                 state=("OK" if ok else "LOST") if stale else self.state.name,
                 n_inliers=n_inl,
                 map_id=mc.map_id,
+                ref_slot=int(s.ref_slot[j]) if ok else -1,
+                T_rel=np.asarray(s.T_rel[j]) if ok else None,
             )
             self.frames.append(rec)
             recs.append(rec)
@@ -1043,12 +1226,15 @@ class RobotTracker:
                 self._maybe_reset_young_map()
         elif self.state == TrackingState.LOST and (
             not self.cfg.multi_mapping or self.localization_only
+            or self.on_keyframe is None or self.reloc_on_loss
         ):
-            # single-map / localization mode: relocalize against the keyframe
-            # database (Tracking::Relocalization — with multi-mapping ON the
-            # owner spawns a new map instead, Tracking.cc:330-366)
+            # single-map / localization mode — or no MultiMapper installed
+            # (on_keyframe unset): relocalize against the keyframe database
+            # (Tracking::Relocalization — with multi-mapping ON the owner
+            # spawns a new map instead, Tracking.cc:330-366)
             feats = self.extract(img)
             n_inl = self._try_relocalize(feats)
+        ok_now = self.state == TrackingState.OK
         rec = FrameRecord(
             frame_id=self.frame_id,
             timestamp=timestamp,
@@ -1056,6 +1242,8 @@ class RobotTracker:
             state=self.state.name,
             n_inliers=n_inl,
             map_id=self.mapctx.map_id,
+            ref_slot=self._last_ref[0] if ok_now else -1,
+            T_rel=self._last_ref[1] if ok_now else None,
         )
         self.frames.append(rec)
         return rec
@@ -1134,9 +1322,13 @@ class MonocularSession:
         return stamps[order], poses[order]
 
     def frame_trajectory(self):
-        stamps = np.array([f.timestamp for f in self.frames if f.state == "OK"])
+        """OK-frame trajectory with export-time pose recovery through
+        reference keyframes (System.cc:470-499): frames recorded before a
+        loop closure / GBA ride the corrected keyframe poses."""
+        ok = [f for f in self.frames if f.state == "OK"]
+        stamps = np.array([f.timestamp for f in ok])
         poses = (
-            np.stack([f.T_cw for f in self.frames if f.state == "OK"])
+            np.stack(resolve_frame_poses(ok))
             if stamps.size
             else np.zeros((0, 4, 4))
         )

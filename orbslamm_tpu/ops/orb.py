@@ -338,11 +338,16 @@ def undistort_points(xy: jax.Array, cam: CameraConfig) -> jax.Array:
 # Full extractor
 # ---------------------------------------------------------------------------
 
-def make_extractor(orb: OrbConfig, cam: CameraConfig, n_features: int | None = None):
+def make_extractor(orb: OrbConfig, cam: CameraConfig,
+                   n_features: int | None = None,
+                   max_keypoints: int | None = None):
     """Build a jitted ``image_u8 [H, W] -> Features`` extractor.
 
     ``n_features`` overrides orb.n_features (the reference tracks with N but
     initializes with 2N — Tracking.cc:120-126 builds two extractors).
+    ``max_keypoints`` overrides the padded output capacity — an init-only
+    extractor may exceed the map's per-frame feature capacity (its output
+    is truncated back before keyframe insertion).
     """
     H, W = cam.height, cam.width
     n_feat = n_features or orb.n_features
@@ -351,7 +356,7 @@ def make_extractor(orb: OrbConfig, cam: CameraConfig, n_features: int | None = N
     for l in range(orb.n_levels):
         s = orb.scale_factor**l
         level_shapes.append((max(int(round(H / s)), 2 * EDGE + 2), max(int(round(W / s)), 2 * EDGE + 2)))
-    M = orb.max_keypoints
+    M = max_keypoints or orb.max_keypoints
     total = sum(counts)
     if total > M:
         raise ValueError(f"max_keypoints {M} < total level budget {total}")

@@ -15,16 +15,19 @@ robot axis:
     merge scans) run per robot off the fetched summaries, exactly like the
     single-stream chunk path — rare, control-heavy, host-coordinated.
 
-Pipelining and epoch safety: chunk k+1 is dispatched before chunk k's
-summaries are fetched (device never idles), EXCEPT while any owner/follower
-pairing is active or a global-BA slice schedule is pending — those phases
-refresh bank slices at every chunk boundary, and refreshing under an
-in-flight chunk discards its results. In the pipelined phase, rare host
-events are reconciled explicitly:
+Pipelining and epoch safety: chunk k+1 is ALWAYS dispatched before chunk
+k's summaries are fetched (the device never idles). Rare host events are
+reconciled without breaking the pipeline:
 
   * same-map loop corrections REBASE the in-flight chunk (device state and
     its pending record poses ride the corrected keyframe — the reference's
     Tcr reference-chain trick, System.cc:470-499);
+  * overlapped GBA slices are async device-program rewrites of the
+    robot's CURRENT slice (the same lineage the in-flight chunk produces),
+    with their convergence cost fetched one boundary late;
+  * follower keyframes accumulate in a backlog replayed at periodic SYNC
+    POINTS (one pipeline drain every ``replay_interval`` chunks) through a
+    single jitted multi-keyframe program;
   * merges bump the affected robots' GENERATION, which marks the in-flight
     chunk stale: its records are emitted under the pre-merge map id, but no
     state machine / keyframe events run off it (the single-stream
@@ -44,14 +47,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from orbslamm_tpu.models import fused
+from orbslamm_tpu.models import local_mapping as lm_stage
 from orbslamm_tpu.models import map_state as ms
 from orbslamm_tpu.models.fused import FrameSummary, TrackState
+from orbslamm_tpu.ops import bow as bow_ops
 from orbslamm_tpu.utils.config import SlamConfig
 from orbslamm_tpu.utils.trace import get_tracer
 
 
 def make_multistream_chunk_step(cfg: SlamConfig, extract_fn,
-                                with_bow: bool = False, kmax: int = 3):
+                                with_bow: bool = False, kmax: int = 2):
     """jit(vmap(chunk)) over a leading robot axis.
 
     Returns step(m[R,...], ts[R,...], kf_bow[R,K,W], K[R,3,3],
@@ -109,6 +114,76 @@ def _set_slices_stacked(all_tree, idxs, stacked):
     return jax.tree.map(lambda a, s: a.at[idxs].set(s), all_tree, stacked)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "with_bow"))
+def _replay_kfs_device(cfg: SlamConfig, mA: ms.MapState, bowA, voc,
+                       mB: ms.MapState, src_slots, base_valid, n_kf0,
+                       n_allowed, with_bow: bool):
+    """Replay up to P follower keyframes into the authoritative map in ONE
+    jitted program (replaces a per-keyframe host insert chain — each host
+    insert is several dispatches, fatal on a remote-attached device).
+
+    src_slots [P] (padded -1): keyframe slots in the follower's chunk-epoch
+    copy ``mB``; they are inserted at n_kf0.. of ``mA`` with a light
+    pipeline (insert + seam fuse — the full pipeline already ran in the
+    copy), keeping only landmark associations that exist in the
+    authoritative pool AND existed at the last shared refresh (later ids
+    alias follower-copy allocations). Returns (mA, bowA, obs_ind)."""
+    P = src_slots.shape[0]
+    from orbslamm_tpu.ops.orb import Features
+
+    def body(carry, e):
+        mA, n_kf = carry
+        src = src_slots[e]
+        do = (src >= 0) & (e < n_allowed) & (
+            n_kf < cfg.capacity.max_keyframes - 1
+        )
+
+        def ins(operand):
+            mA, n_kf = operand
+            sl = jnp.maximum(src, 0)
+            feats = Features(
+                xy=mB.kf_xy[sl],
+                xy_raw=mB.kf_xy[sl],
+                angle=mB.kf_angle[sl],
+                response=jnp.where(mB.kf_feat_valid[sl], 50.0, 0.0),
+                level=mB.kf_level[sl],
+                desc=mB.kf_desc[sl],
+                valid=mB.kf_feat_valid[sl],
+                u_right=mB.kf_ur[sl],
+            )
+            obs = mB.kf_obs_lm[sl]
+            safe = jnp.maximum(obs, 0)
+            keep = (obs >= 0) & mA.lm_valid[safe] & base_valid[safe]
+            obs = jnp.where(keep, obs, -1)
+            m2 = ms.insert_keyframe(
+                mA, n_kf, mB.kf_pose[sl], mB.kf_K[sl], feats, obs,
+                mB.kf_frame_id[sl], mB.kf_timestamp[sl],
+            )
+            m2 = lm_stage.fuse_neighbors(cfg, m2, n_kf)
+            return m2, n_kf + 1
+
+        mA, n_kf = jax.lax.cond(do, ins, lambda o: o, (mA, n_kf))
+        return (mA, n_kf), None
+
+    (mA, n_kf), _ = jax.lax.scan(
+        body, (mA, n_kf0), jnp.arange(P, dtype=jnp.int32)
+    )
+    if with_bow:
+        # batched BoW rows for the inserted slots (idempotent clamp: with
+        # zero inserts the update would touch a non-inserted row, so gate)
+        n_ins = n_kf - n_kf0
+        rows = jnp.minimum(n_kf0 + jnp.arange(P, dtype=jnp.int32), n_kf - 1)
+        bowA = jax.lax.cond(
+            n_ins > 0,
+            lambda b: bow_ops.update_bow_rows(
+                voc, mA.kf_desc, mA.kf_feat_valid, b, rows
+            ),
+            lambda b: b,
+            bowA,
+        )
+    return mA, bowA
+
+
 def shard_streams(tree, mesh, axis: str | None = None):
     """Place every leaf with its leading (robot) axis sharded over ``mesh``.
 
@@ -149,14 +224,18 @@ class StreamBank:
     MultiMapper.cc:451-665): when two in-bank robots end up on ONE merged
     MapContext, the bank switches to an OWNER + FOLLOWER model — the robot
     whose map absorbed the other keeps the authoritative map in its slice;
-    the follower tracks (and keeps inserting keyframes) in a chunk-epoch
-    COPY, and at every chunk boundary its new keyframes are REPLAYED into
-    the authoritative map through the host insert pipeline, after which
-    both slices are refreshed from the authoritative state. Both robots
-    therefore keep tracking AND contributing keyframes to the one shared
-    map, with reconciliation at chunk granularity (the same delay the
-    reference's keyframe queues introduce). While pairings are active the
-    bank runs chunks synchronously (no in-flight chunk across a refresh)."""
+    the follower tracks (and keeps inserting keyframes) in an epoch COPY.
+    Its new keyframes accumulate in a backlog and are replayed into the
+    authoritative map at SYNC POINTS (every ``replay_interval`` chunks):
+    the pipeline drains once, ONE jitted multi-keyframe replay program
+    (_replay_kfs_device) inserts the backlog, and every member's slice is
+    refreshed from the authoritative state. Between sync points the bank
+    stays fully pipelined — chunk k+1 is always in flight while chunk k's
+    events are handled; GBA slices and same-map loop corrections are
+    expressed as device-program rewrites of the CURRENT slices (the same
+    lineage the in-flight chunk produces), so nothing is ever discarded.
+    The replay delay (a few chunks) is the pipelined analog of the
+    reference's keyframe-queue latency (LocalMapping.cc:114-126)."""
 
     def __init__(self, cfg: SlamConfig, trackers, mesh=None, chunk_size: int = 8):
         self.cfg = cfg
@@ -198,6 +277,22 @@ class StreamBank:
         self._rebase: dict[int, np.ndarray] = {}
         # follower slot -> owner slot for robots sharing a merged MapContext
         self.followers: dict[int, int] = {}
+        # follower slot -> [(record, src_slot, T_rel)] whose reference
+        # keyframe is a copy-local slot not yet replayed into the
+        # authoritative map; resolved by _replay_follower_kfs
+        self._pending_ref: dict[int, list] = {}
+        # follower slot -> copy-local keyframe slots awaiting replay into
+        # the authoritative map at the next sync point
+        self._follower_backlog: dict[int, list[int]] = {}
+        # owner slot -> accumulated (T_old, T_new) loop corrections to
+        # thread through the followers' TrackStates at the next sync point
+        # (the owner itself is rebased immediately, pipelined)
+        self._shared_rebase: dict[int, list] = {}
+        # sync-point cadence: every N chunks with a non-empty backlog the
+        # pipeline drains once and the shared map reconciles
+        self.replay_interval = 4
+        self._chunks_since_sync = 0
+        self._want_sync = False
         # owner slot -> lm_valid snapshot at the last shared refresh
         self._shared_lm_valid: dict[int, jax.Array] = {}
         # follower slot -> authoritative n_kf at its last refresh: only
@@ -216,28 +311,25 @@ class StreamBank:
     def n_streams(self) -> int:
         return len(self.trackers)
 
-    def _needs_sync_mode(self) -> bool:
-        """True while chunk boundaries mutate bank slices (follower replay /
-        shared refresh / GBA slices) — an in-flight chunk would be
-        discarded by those writes, so the bank runs unpipelined."""
-        if self.followers:
-            return True
-        return any(t.mapctx.gba_remaining > 0 for t in self.trackers)
-
     def process_chunk(self, images, timestamps):
-        """Advance every stream by one chunk.
+        """Advance every stream by one chunk — ALWAYS pipelined.
 
         images: [R, C, H, W] uint8 (numpy or device), timestamps: [R, C].
         Robots that are not OK are advanced on the HOST per-frame path
         (initialization / loss recovery) and rejoin the bank when OK.
-        Pipelined phase: chunk k+1 is dispatched before chunk k's summaries
-        are fetched; returns the PREVIOUS chunk's per-robot FrameRecord
-        lists ([] on the first call). Synchronous phase (active pairings /
-        pending GBA): returns the records available after this chunk.
-        ``flush()`` / ``sync_to_trackers`` drains any in-flight chunk."""
+        Chunk k+1 is dispatched before chunk k's summaries are fetched;
+        returns the PREVIOUS chunk's per-robot FrameRecord lists ([] on the
+        first call, plus any records drained by a sync point). ``flush()``
+        / ``sync_to_trackers`` drains the in-flight chunk."""
         from orbslamm_tpu.models.system import TrackingState
 
         C = len(timestamps[0])
+        out = []
+        if self._want_sync:
+            # sync point: drain the pipeline once and reconcile the shared
+            # map (follower backlog replay + member refresh)
+            out += self.flush()
+            self._do_shared_sync()
         # host catch-up for robots outside the bank (init / post-loss):
         # their bank slice is frozen (latched lost flag), the host path
         # owns their frames until they are OK again
@@ -250,16 +342,10 @@ class StreamBank:
                                     float(timestamps[r][j]))
                     if t.state == TrackingState.LOST and self.on_lost is not None:
                         self.on_lost(t)
-        if self._needs_sync_mode():
-            out = self.flush()
-            tok = self._dispatch(images, timestamps, host_handled)
-            out += self._finish(tok)
-        else:
-            tok = self._dispatch(images, timestamps, host_handled)
-            out = []
-            if self._pending is not None:
-                out = self._finish(self._pending)
-            self._pending = tok
+        tok = self._dispatch(images, timestamps, host_handled)
+        if self._pending is not None:
+            out += self._finish(self._pending)
+        self._pending = tok
         # robots that recovered on the host path rejoin the bank AFTER the
         # dispatch consumed their old frozen slice (their images this chunk
         # were host-processed; re-adopting earlier would double-track them)
@@ -347,9 +433,24 @@ class StreamBank:
         want_bow = token["want_bow"]
         R, C = len(self.trackers), timestamps.shape[1]
         tr = get_tracer()
+        # pending overlapped-GBA slice costs ride the chunk fetch (computed
+        # since the last boundary — the fetch is free; no separate RTT)
+        gba_mcs = []
+        seen_mc = set()
+        for t in self.trackers:
+            mc0 = t.mapctx
+            if id(mc0) not in seen_mc and mc0._gba_cost_pending is not None:
+                seen_mc.add(id(mc0))
+                gba_mcs.append(mc0)
         with tr.span("ms_fetch"):
             # ONE host sync, all streams (summaries + deferred kf events)
-            s, ev = jax.device_get((token["summaries"], token["kf_events"]))
+            s, ev, gba_costs = jax.device_get((
+                token["summaries"], token["kf_events"],
+                [mc0._gba_cost_pending for mc0 in gba_mcs],
+            ))
+        for mc0, c in zip(gba_mcs, gba_costs):
+            mc0._gba_cost_pending = None
+            mc0.gba_resolve_cost(float(c))
 
         all_recs = []
         kfs_per_robot: list[list[tuple[int, int]]] = []  # (slot, j)
@@ -389,6 +490,16 @@ class StreamBank:
                     if t.state != TrackingState.LOST:
                         newly_lost.append(r)
                     t.state = TrackingState.LOST
+                ref_slot, T_rel, pend_src = -1, None, None
+                if ok:
+                    ref_slot = int(s.ref_slot[r, j])
+                    T_rel = np.asarray(s.T_rel[r, j])
+                    if (r in self.followers
+                            and ref_slot >= self._follower_base_nkf.get(r, 0)):
+                        # reference KF is a copy-local slot: its number means
+                        # nothing in the authoritative map until the replay
+                        # assigns it a destination slot
+                        pend_src, ref_slot, T_rel = ref_slot, -1, None
                 rec = FrameRecord(
                     frame_id=token["fid0s"][r] + j,
                     timestamp=float(timestamps[r][j]),
@@ -398,7 +509,13 @@ class StreamBank:
                     # stale records belong to the map they were dispatched
                     # under (a merge may have moved the robot since)
                     map_id=token["map_ids"][r] if stale else mc.map_id,
+                    ref_slot=ref_slot,
+                    T_rel=T_rel,
                 )
+                if pend_src is not None:
+                    self._pending_ref.setdefault(r, []).append(
+                        (rec, pend_src, np.asarray(s.T_rel[r, j]))
+                    )
                 t.frames.append(rec)
                 recs.append(rec)
             if not stale:
@@ -485,9 +602,14 @@ class StreamBank:
         # merge reconciliation: every robot whose ACTIVE map changed during
         # this finish (the absorbed side of a cross-robot merge — the
         # absorbing owner's slice is refreshed by the pairing's
-        # _refresh_shared) adopts its new context into the bank
+        # _refresh_shared) adopts its new context into the bank. Robots on
+        # the host path (init / loss recovery) are NOT adopted here — their
+        # map switches come from loss handling, and process_chunk re-adopts
+        # them through reset_stream once they are OK again.
         for r, t in enumerate(self.trackers):
-            if r in self.followers:
+            if r in self.followers or r in token["host_handled"]:
+                continue
+            if t.state != TrackingState.OK:
                 continue
             if t.mapctx.map_id != token["map_ids"][r]:
                 self._adopt_merge(r)
@@ -509,29 +631,35 @@ class StreamBank:
                 # the transplant claimed keyframe slots an in-flight chunk
                 # may also be writing — discard that chunk for this robot
                 self._gens[r] += 1
-        # chunk-epoch reconciliation of established followers
+        # follower keyframes accumulate in a backlog; a sync point every
+        # replay_interval chunks drains the pipeline once and replays them
+        # into the authoritative map (pipelining is never broken per-chunk)
+        any_backlog = False
         for r, o in list(self.followers.items()):
             slots = [s_ for s_, _j in kfs_per_robot[r]
                      if s_ >= self._follower_base_nkf.get(r, 0)]
             if slots:
-                with tr.span("ms_follower_replay"):
-                    self._replay_follower_kfs(r, o, slots)
-                with tr.span("ms_refresh_shared"):
-                    self._refresh_shared(o)
-        # overlapped global BA: one slice per scheduled map per chunk
+                bl = self._follower_backlog.setdefault(r, [])
+                bl.extend(s_ for s_ in slots if s_ not in bl)
+            if self._follower_backlog.get(r):
+                any_backlog = True
+        self._chunks_since_sync += 1
+        if (any_backlog or self._shared_rebase) and (
+            self._chunks_since_sync >= self.replay_interval
+        ):
+            self._want_sync = True
+        # overlapped global BA: one async slice per scheduled map per chunk,
+        # rewriting the robot's CURRENT slice (the in-flight chunk's output
+        # lineage) — no flush, no discard, cost resolved next boundary
         for r, t in enumerate(self.trackers):
             if r in self.followers:
                 continue  # the owner runs the shared map's slices
             mc = t.mapctx
             if mc.gba_remaining > 0:
                 with tr.span("ms_gba_slice"):
-                    if self._dirty[r]:
-                        self._sync_tracker(r)
+                    self._sync_tracker(r)
                     if mc.gba_slice():
-                        if any(ow == r for ow in self.followers.values()):
-                            self._refresh_shared(r)
-                        else:
-                            self.m_all = tree_set(self.m_all, r, mc.map)
+                        self.m_all = tree_set(self.m_all, r, mc.map)
         # loss hooks AFTER all state is consistent (the hook may switch maps)
         if self.on_lost is not None:
             for r in newly_lost:
@@ -540,6 +668,7 @@ class StreamBank:
                     if r in self.followers:
                         self.followers.pop(r, None)
                         self._follower_base_nkf.pop(r, None)
+                        self._pending_ref.pop(r, None)
                     elif r in set(self.followers.values()):
                         self._promote_follower_owner(r)
                     self.on_lost(t)
@@ -555,10 +684,14 @@ class StreamBank:
         t = self.trackers[r]
         mc = t.mapctx
         if any(ow == r for ow in self.followers.values()):
-            # owner of a shared map: full refresh propagates the corrected
-            # state to every member (sync mode — nothing in flight)
-            self._refresh_shared(r, rebase=corrections)
-            return
+            # owner of a shared map: the owner is rebased NOW (pipelined,
+            # below); the followers' copies stay in the pre-correction
+            # world until the next sync point, where _refresh_shared
+            # threads the accumulated corrections through their states
+            self._shared_rebase.setdefault(r, []).extend(
+                [(np.asarray(a), np.asarray(b)) for a, b in corrections]
+            )
+            self._want_sync = True
         ts_r = tree_slice(self.ts_all, r)
         A = np.eye(4)
         for T_old, T_new in corrections:
@@ -569,8 +702,10 @@ class StreamBank:
         # correct_loop fused landmarks → the carried indicator is stale
         # the map gained keyframes / landmarks (n_kf may have grown by a
         # transplant) — refresh the counters alongside the indicator
+        n_kf_new = max(mc.n_kf, int(ts_r.n_kf))
         ts_r = ts_r._replace(obs_ind=ms.lm_indicator(mc.map),
-                             n_kf=jnp.int32(max(mc.n_kf, int(ts_r.n_kf))))
+                             n_kf=jnp.int32(n_kf_new),
+                             last_kf_T=mc.map.kf_pose[n_kf_new - 1])
         self.ts_all = tree_set(self.ts_all, r, ts_r)
         self.m_all = tree_set(self.m_all, r, mc.map)
         if refresh_bow and self.bow_all is not None and mc.kf_bow is not None:
@@ -591,12 +726,37 @@ class StreamBank:
         new_o = members[0]
         self.followers.pop(new_o)
         self._follower_base_nkf.pop(new_o, None)
+        # the new owner's COPY is replaced by the authoritative map: its
+        # un-replayed copy-local keyframes and record references die
+        if self._follower_backlog.pop(new_o, None):
+            get_tracer().event("bank_backlog_dropped", follower=new_o,
+                               owner=o)
+        self._pending_ref.pop(new_o, None)
+        self._shared_rebase.pop(o, None)
         for r in members[1:]:
             self.followers[r] = new_o
         if o in self._shared_lm_valid:
             self._shared_lm_valid[new_o] = self._shared_lm_valid.pop(o)
         mc = self.trackers[o].mapctx
         self.m_all = tree_set(self.m_all, new_o, mc.map)
+        # rebuild the new owner's TrackState against the adopted map (its
+        # old copy's slot frontier / indicator / associations are invalid)
+        t = self.trackers[new_o]
+        ts_n = tree_slice(self.ts_all, new_o)
+        base_valid = self._shared_lm_valid.get(new_o)
+        last_lm = ts_n.last_lm
+        if base_valid is not None:
+            safe = jnp.maximum(last_lm, 0)
+            keep = (last_lm >= 0) & base_valid[safe] & mc.map.lm_valid[safe]
+            last_lm = jnp.where(keep, last_lm, -1)
+        ts_n = ts_n._replace(
+            n_kf=jnp.int32(mc.n_kf),
+            obs_ind=ms.lm_indicator(mc.map),
+            last_lm=last_lm,
+            prev_inliers=jnp.zeros_like(ts_n.prev_inliers),
+            last_kf_T=mc.map.kf_pose[jnp.maximum(jnp.int32(mc.n_kf) - 1, 0)],
+        )
+        self.ts_all = tree_set(self.ts_all, new_o, ts_n)
         self._gens[new_o] += 1
         get_tracer().event("bank_owner_promoted", old_owner=o,
                            new_owner=new_o, map_id=mc.map_id)
@@ -632,7 +792,7 @@ class StreamBank:
                              rebase=[reb] if reb is not None else None)
 
     def _refresh_shared(self, o: int, fresh: set[int] = frozenset(),
-                        rebase=None):
+                        rebase=None, rebase_skip: set[int] = frozenset()):
         """Write the authoritative merged map into the owner's and every
         follower's slice; rebuild their TrackStates against it.
 
@@ -640,17 +800,25 @@ class StreamBank:
         freshest device copy); ``fresh`` members keep their just-rebuilt
         host state (a newly adopted follower's Sim3-rebased pose).
         ``rebase``: list of (T_kf_old, T_kf_new) corrections to thread
-        through every member's TrackState (a loop correction moved the
-        shared map under the cameras)."""
+        through every member's TrackState except ``rebase_skip`` members
+        (a loop correction moved the shared map under the cameras; the
+        owner may have been rebased already at correction time)."""
         mc = self.trackers[o].mapctx
         ind = ms.lm_indicator(mc.map)
         members = [o] + [r for r, ow in self.followers.items() if ow == o]
         base_valid = self._shared_lm_valid.get(o)
         for r in members:
             t = self.trackers[r]
+            # copy-local keyframes die with the copy: un-replayed backlog
+            # and unresolved record references stay frozen
+            if r != o:
+                if self._follower_backlog.pop(r, None):
+                    get_tracer().event("bank_backlog_dropped", follower=r,
+                                       owner=o)
+                self._pending_ref.pop(r, None)
             if r not in fresh:
                 t._ts = tree_slice(self.ts_all, r)
-                if rebase:
+                if rebase and r not in rebase_skip:
                     for T_old, T_new in rebase:
                         t._ts = fused.rebase_track_state(
                             t._ts, jnp.asarray(T_old), jnp.asarray(T_new)
@@ -679,6 +847,8 @@ class StreamBank:
                 obs_ind=ind,
                 last_lm=last_lm,
                 prev_inliers=prev_inl,
+                # the member re-references the shared map's newest keyframe
+                last_kf_T=mc.map.kf_pose[jnp.maximum(jnp.int32(mc.n_kf) - 1, 0)],
             )
             t.mapctx = mc
             self._dirty[r] = False
@@ -702,46 +872,85 @@ class StreamBank:
                 self._follower_base_nkf[r] = mc.n_kf
 
     def _replay_follower_kfs(self, r: int, o: int, slots: list[int]):
-        """Replay keyframes a follower inserted into its chunk-epoch copy
-        into the authoritative map (host insert pipeline), preserving only
-        associations to landmarks that exist in the authoritative pool AND
-        existed at the last shared refresh (later ids alias follower-copy
-        allocations — both copies draw from the same free slots)."""
-        from orbslamm_tpu.ops.orb import Features
-
-        mB = tree_slice(self.m_all, r)  # follower's evolved copy
+        """Replay the follower's backlog of copy-local keyframes into the
+        authoritative map in ONE jitted dispatch per 16 keyframes
+        (_replay_kfs_device), preserving only associations to landmarks
+        that exist in the authoritative pool AND existed at the last shared
+        refresh (later ids alias follower-copy allocations — both copies
+        draw from the same free slots). Sync-point only: the pipeline is
+        drained, so mc.n_kf is the true slot frontier."""
         mc = self.trackers[o].mapctx
-        base_valid = self._shared_lm_valid.get(o)
         tr = get_tracer()
-        for s_ in slots:
-            if mc.n_kf >= self.cfg.capacity.max_keyframes - 1:
-                tr.event("bank_replay_skipped_capacity", follower=r,
-                         slot=int(s_), n_kf=mc.n_kf)
-                break
-            sl = jnp.int32(s_)
-            feats = Features(
-                xy=mB.kf_xy[sl],
-                xy_raw=mB.kf_xy[sl],
-                angle=mB.kf_angle[sl],
-                response=jnp.where(mB.kf_feat_valid[sl], 50.0, 0.0),
-                level=mB.kf_level[sl],
-                desc=mB.kf_desc[sl],
-                valid=mB.kf_feat_valid[sl],
-                u_right=mB.kf_ur[sl],
-            )
-            obs = mB.kf_obs_lm[sl]
-            safe = jnp.maximum(obs, 0)
-            keep = (obs >= 0) & mc.map.lm_valid[safe]
-            if base_valid is not None:
-                keep &= base_valid[safe]
-            obs_clean = jnp.where(keep, obs, -1)
-            new_slot = mc.insert_keyframe(
-                mB.kf_pose[sl], mB.kf_K[sl], feats, obs_clean,
-                mB.kf_frame_id[sl], mB.kf_timestamp[sl], light=True,
-            )
-            mc.update_bow_row(new_slot)
-            tr.event("bank_replay_kf", follower=r, owner=o,
-                     src_slot=int(s_), dst_slot=new_slot)
+        cap = self.cfg.capacity.max_keyframes - 1
+        n_allowed = max(0, min(len(slots), cap - mc.n_kf))
+        for s_ in slots[n_allowed:]:
+            tr.event("bank_replay_skipped_capacity", follower=r,
+                     slot=int(s_), n_kf=mc.n_kf)
+        remap: dict[int, int] = {}  # copy slot -> authoritative slot
+        if n_allowed > 0:
+            mB = tree_slice(self.m_all, r)  # follower's evolved copy
+            base_valid = self._shared_lm_valid.get(o)
+            if base_valid is None:
+                base_valid = mc.map.lm_valid
+            want_bow = mc.kf_bow is not None and mc.voc is not None
+            P = 16
+            take = slots[:n_allowed]
+            for g0 in range(0, len(take), P):
+                grp = take[g0 : g0 + P]
+                src = jnp.asarray((grp + [-1] * P)[:P], jnp.int32)
+                bow_in = mc.kf_bow if want_bow else jnp.zeros((), jnp.float32)
+                mA2, bow2 = _replay_kfs_device(
+                    self.cfg, mc.map, bow_in, mc.voc if want_bow else None,
+                    mB, src, base_valid, jnp.int32(mc.n_kf),
+                    jnp.int32(len(grp)), want_bow,
+                )
+                mc.map = mA2
+                if want_bow:
+                    mc.kf_bow = bow2
+                for i, s_ in enumerate(grp):
+                    remap[int(s_)] = mc.n_kf + i
+                    tr.event("bank_replay_kf", follower=r, owner=o,
+                             src_slot=int(s_), dst_slot=mc.n_kf + i)
+                mc.n_kf += len(grp)
+        # re-point records whose reference KF was a copy-local slot at its
+        # authoritative destination (capacity-skipped slots stay frozen)
+        pend = self._pending_ref.pop(r, [])
+        rest = []
+        for rec, src, T_rel in pend:
+            dst = remap.get(src)
+            if dst is not None:
+                rec.ref_slot = dst
+                rec.T_rel = T_rel
+            elif src not in [int(x) for x in slots]:
+                rest.append((rec, src, T_rel))  # not in this round's batch
+        if rest:
+            self._pending_ref[r] = rest
+
+    def _do_shared_sync(self):
+        """Sync point (pipeline already drained by process_chunk): replay
+        every follower's backlog into the authoritative map, then refresh
+        every member's slice/TrackState from it, threading any accumulated
+        owner-side loop corrections through the followers."""
+        tr = get_tracer()
+        self._want_sync = False
+        self._chunks_since_sync = 0
+        owners = set(self.followers.values()) | set(self._shared_rebase)
+        for o in owners:
+            if o in self.followers:
+                continue  # stale entry (owner was demoted/lost)
+            self._sync_tracker(o)
+            with tr.span("ms_follower_replay"):
+                for r, ow in list(self.followers.items()):
+                    if ow != o:
+                        continue
+                    slots = self._follower_backlog.pop(r, [])
+                    if slots:
+                        self._replay_follower_kfs(r, o, slots)
+            reb = self._shared_rebase.pop(o, None)
+            with tr.span("ms_refresh_shared"):
+                # the owner was rebased at correction time — only the
+                # followers need the accumulated corrections threaded in
+                self._refresh_shared(o, rebase=reb, rebase_skip={o})
 
     def reset_stream(self, r: int):
         """Adopt tracker ``r``'s CURRENT host state into the bank — call
@@ -750,6 +959,9 @@ class StreamBank:
         t = self.trackers[r]
         self.followers.pop(r, None)
         self._follower_base_nkf.pop(r, None)
+        self._pending_ref.pop(r, None)  # unresolved refs stay frozen
+        self._follower_backlog.pop(r, None)
+        self._shared_rebase.pop(r, None)
         if t._ts is None:
             t._ts = t._make_ts()
         self.m_all = tree_set(self.m_all, r, t.mapctx.map)
@@ -774,11 +986,14 @@ class StreamBank:
         self._dirty[r] = False
 
     def sync_to_trackers(self):
-        """Drain the in-flight chunk and write all device state back into
-        the trackers (for trajectory export, merging, serialization)."""
+        """Drain the in-flight chunk, reconcile any outstanding shared-map
+        backlog, and write all device state back into the trackers (for
+        trajectory export, merging, serialization)."""
         from orbslamm_tpu.models.system import TrackingState
 
         self.flush()
+        if self._follower_backlog or self._shared_rebase or self._want_sync:
+            self._do_shared_sync()
         for r in range(len(self.trackers)):
             if self.trackers[r].state == TrackingState.OK:
                 self._sync_tracker(r)

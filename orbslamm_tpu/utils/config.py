@@ -74,6 +74,11 @@ class OrbConfig:
     # budget, reference Tracking.cc:120-126)
     max_keypoints: int = 2048
     cell_size: int = 16  # selection grid cell in level-0 pixels
+    # two-view-init extraction budget; 0 = the reference's 2*nFeatures
+    # policy (Tracking.cc:122). Raise it when wide-baseline feature
+    # SELECTION churn (not matching) caps init matches — the 100-match bar
+    # needs the same structure re-selected across the init baseline.
+    init_features: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,110 @@
+"""KITTI-00-class long-sequence run (VERDICT r4 missing #5; BASELINE
+config #3 analog — Examples/Monocular/mono_kitti.cc + KITTI00-02.yaml).
+
+1024 frames over a path-scaled out-and-back trajectory at K=512 /
+L=32768 capacities through the FULL pipeline: chunked tracking, continuous
+local mapping, organic loop closure on the return leg (exercising the
+matrix-free essential-graph optimizer at C>=hundreds of nodes), and
+overlapped GBA slices. Asserts: tracking holds, the map reaches hundreds of
+keyframes, a loop closes, per-chunk cost does NOT grow with map size
+(the algorithmic-sparsification scaling claim, SURVEY §5.7), and the
+resolved trajectory stays consistent with ground truth.
+"""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from orbslamm_tpu.eval.ate import ate_from_poses
+from orbslamm_tpu.io.synthetic import make_sequence
+from orbslamm_tpu.models.system import (
+    MonocularSession, TrackingState, resolve_frame_poses,
+)
+from orbslamm_tpu.utils.config import (
+    CameraConfig, CapacityConfig, OrbConfig, SlamConfig, TrackingConfig,
+)
+
+CHUNK = 8
+
+
+@pytest.mark.slow
+def test_kitti00_class_long_run():
+    cam = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160,
+                       cy=120, fps=30)
+    vocab = (Path(__file__).resolve().parents[1] / "orbslamm_tpu" / "data"
+             / "vocab_10x4.npz")
+    cfg = SlamConfig(
+        camera=cam,
+        orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
+        capacity=CapacityConfig(max_keyframes=512, max_landmarks=32768),
+        tracking=TrackingConfig(
+            pixel_noise=1.2, min_matches_init=60, init_min_triangulated=45,
+            init_min_parallax_deg=0.4,
+        ),
+        vocabulary_path=str(vocab) if vocab.exists() else None,
+    )
+    from orbslamm_tpu.models.multimap import MultiMapper
+
+    n = 1024
+    seq = make_sequence(n_frames=n, n_points=9000, cam=cam, seed=3,
+                        motion="outback", path_scale=6.0)
+    # the production long-run configuration: MultiMapper ON — a hard
+    # stretch that loses tracking spawns a NEW map and keeps mapping; the
+    # return leg recognizes earlier maps and merges them back (the
+    # reference's mono_kitti with Multi_Maps_Usage=1, Tracking.cc:330-366)
+    mm = MultiMapper(cfg)
+    t = mm.add_robot("kitti00")
+    t.chunk_size = CHUNK
+
+    i = 0
+    while t.state != TrackingState.OK and i < 80:
+        mm.process_frame(0, seq.images[i], float(seq.timestamps[i]))
+        i += 1
+    assert t.state == TrackingState.OK, "long-run init failed"
+
+    chunk_times = []
+    while i + CHUNK <= n:
+        c0 = time.perf_counter()
+        mm.process_frames(0, seq.images[i : i + CHUNK],
+                          seq.timestamps[i : i + CHUNK])
+        chunk_times.append(time.perf_counter() - c0)
+        i += CHUNK
+    mm.flush_merge_scans()
+
+    ok = [f for f in t.frames if f.state == "OK"]
+    assert len(ok) > 0.7 * n, f"only {len(ok)}/{n} frames tracked"
+    total_kf = sum(mc.n_kf for mc in mm.live_maps())
+    assert total_kf >= 120, f"maps too small for a long run: {total_kf} KFs"
+    # global consistency machinery fired at scale: the return leg closes a
+    # large-scale loop in-map and/or merges an orphan map back
+    loops = sum(len(mc.loops_closed) for mc in mm.live_maps())
+    assert loops + len(mm.merges) >= 1, (
+        "no loop closure or merge over a 1024-frame out-and-back run"
+    )
+
+    # scaling: per-chunk cost must not GROW with the map (K=512-capacity
+    # programs are fixed-shape; algorithmic sparsification keeps per-chunk
+    # work constant — SURVEY §5.7). Compare steady-state medians; the early
+    # window is skipped (compiles), loop-closure chunks are outliers by
+    # design and medians absorb them.
+    ct = np.asarray(chunk_times)
+    early = float(np.median(ct[4:24]))
+    late = float(np.median(ct[-20:]))
+    assert late < 3.0 * early, (
+        f"per-chunk cost grew with map size: {early:.3f}s -> {late:.3f}s"
+    )
+
+    # resolved trajectory consistency over the DOMINANT map's frames
+    # (path ~15 m; orphan-map segments live in their own worlds until
+    # merged, so per-map evaluation is the honest metric)
+    by_map: dict[int, list] = {}
+    for f in ok:
+        by_map.setdefault(f.map_id, []).append(f)
+    big = max(by_map.values(), key=len)
+    assert len(big) > 0.4 * n, f"dominant map covers only {len(big)} frames"
+    est = np.stack(resolve_frame_poses(big))
+    idx = [int(round(f.timestamp * cam.fps)) for f in big]
+    ate = ate_from_poses(est, seq.poses_cw[idx])
+    assert ate < 1.2, f"long-run ATE {ate:.3f} m"

@@ -124,6 +124,64 @@ def test_merge_maps_produces_consistent_map(two_maps):
     assert np.median(r) < 3.0, f"median reproj {np.median(r)}"
 
 
+def test_merge_into_tight_pool_evicts_by_value(two_maps):
+    """Merge capacity honesty (VERDICT r4 #8): when the base map's landmark
+    pool cannot hold the absorbed map's landmarks, the WORST base landmarks
+    (lowest found ratio) are evicted — counted, their observations cleared
+    — instead of the absorbed map's being silently dropped."""
+    import dataclasses
+
+    mA, mB, T_gt, D, n_a, n_b = two_maps
+    L = int(mA.lm_valid.shape[0])
+    nA_valid = int(np.asarray(mA.lm_valid).sum())
+    nB_valid = int(np.asarray(mB.lm_valid).sum())
+    # tighten the pool: fill A's free slots with filler landmarks so that
+    # free < nB_valid. Give fillers a POOR found ratio except a protected
+    # well-observed subset.
+    free = np.nonzero(~np.asarray(mA.lm_valid))[0]
+    need = max(0, nB_valid - 64)  # leave only 64 free slots
+    fill = free[: len(free) - 64] if len(free) > 64 else free
+    lm_valid = np.asarray(mA.lm_valid).copy()
+    lm_valid[fill] = True
+    vis = np.asarray(mA.lm_visible).copy()
+    fnd = np.asarray(mA.lm_found).copy()
+    vis[fill] = 10
+    fnd[fill] = 1  # found ratio 0.1 — prime eviction candidates
+    # the ORIGINAL map landmarks look well-tracked
+    orig = np.nonzero(np.asarray(mA.lm_valid))[0]
+    vis[orig] = 10
+    fnd[orig] = 9
+    mA2 = mA._replace(
+        lm_valid=jnp.asarray(lm_valid),
+        lm_visible=jnp.asarray(vis),
+        lm_found=jnp.asarray(fnd),
+    )
+    ls = lc.compute_loop_sim3_cross(
+        CFG, mB, mA2, jnp.int32(0), jnp.int32(n_a - 2), jax.random.key(0)
+    )
+    res = merge_maps(
+        CFG, mA2, mB, ls.S_ba, jnp.int32(0), jnp.int32(n_a - 2), jnp.int32(n_a)
+    )
+    n_evicted = int(res.n_evicted)
+    assert n_evicted > 0, "tight pool must evict"
+    # every valid B landmark was placed (none silently dropped)
+    remap = np.asarray(res.lm_remap)
+    bvalid = np.asarray(mB.lm_valid)
+    assert (remap[bvalid] >= 0).all(), "absorbed landmarks were dropped"
+    # evictions came from the poor-ratio fillers, not the well-tracked set
+    merged_valid = np.asarray(res.map.lm_valid)
+    placed = set(remap[bvalid].tolist())
+    surviving_orig = [i for i in orig if merged_valid[i] or i in placed]
+    assert len(surviving_orig) >= int(0.9 * len(orig)), (
+        "well-tracked landmarks were evicted before poor ones"
+    )
+    # no keyframe observation dangles onto an evicted/overwritten slot with
+    # stale geometry: all observations point at valid landmarks
+    obs = np.asarray(res.map.kf_obs_lm)
+    valid_obs = obs >= 0
+    assert merged_valid[obs[valid_obs]].all()
+
+
 @pytest.mark.slow
 def test_kidnap_creates_new_map():
     cam = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160, cy=120, fps=30)

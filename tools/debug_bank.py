@@ -20,11 +20,11 @@ from orbslamm_tpu.utils.config import (
 CAM = CameraConfig(width=320, height=240, fx=260, fy=260, cx=160, cy=120, fps=30)
 CFG = SlamConfig(
     camera=CAM,
-    orb=OrbConfig(n_features=400, max_keypoints=1024, n_levels=4),
+    orb=OrbConfig(n_features=600, max_keypoints=1024, n_levels=4),
     capacity=CapacityConfig(max_keyframes=64, max_landmarks=4096),
     tracking=TrackingConfig(
-        pixel_noise=1.2, min_matches_init=55, init_min_triangulated=30,
-        init_min_parallax_deg=0.4,
+        pixel_noise=1.2, min_matches_init=60, init_min_triangulated=45,
+        init_min_parallax_deg=0.7,
     ),
 )
 N_FRAMES = 44
@@ -32,8 +32,8 @@ CHUNK = 8
 
 
 def _bootstrap(seed):
-    seq = make_sequence(n_frames=N_FRAMES, n_points=900, cam=CAM, seed=seed,
-                        motion="forward")
+    seq = make_sequence(n_frames=N_FRAMES, n_points=2500, cam=CAM, seed=seed,
+                        motion="strafe")
     sess = MonocularSession(CFG)
     sess.enable_loop_closing = False
     i = 0
@@ -61,8 +61,19 @@ while i + CHUNK <= N_FRAMES:
     i += CHUNK
 bank.sync_to_trackers()
 
+from orbslamm_tpu.eval.ate import ate_from_poses
 for r, (sess, seq, _) in enumerate(boots):
-    print(f"robot{r} state={sess.tracker.state.name} n_kf={sess.tracker.mapctx.n_kf}")
+    ts, est = sess.frame_trajectory()
+    idx = [int(round(t * CAM.fps)) for t in ts]
+    ate = ate_from_poses(est, seq.poses_cw[idx]) if len(est) else -1
+    frozen = np.stack([f.T_cw for f in sess.frames if f.state == 'OK'])
+    atef = ate_from_poses(frozen, seq.poses_cw[idx]) if len(est) else -1
+    m = sess.tracker.mapctx.map
+    kv = np.asarray(m.kf_valid)
+    kfp = np.asarray(m.kf_pose)[kv]
+    fids = np.asarray(m.kf_frame_id)[kv]
+    kate = ate_from_poses(kfp, seq.poses_cw[fids]) if kv.sum() >= 3 else -1
+    print(f"robot{r} state={sess.tracker.state.name} n_kf={sess.tracker.mapctx.n_kf} ate={ate:.3f} ate_frozen={atef:.3f} kf_ate={kate:.3f} n={len(est)}")
     for f in sess.tracker.frames:
         print(f"  r{r} f{f.frame_id} {f.state} inl={f.n_inliers}")
 
