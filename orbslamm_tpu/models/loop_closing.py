@@ -427,21 +427,46 @@ def correct_loop(
                       loop_edges=le)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iters", "cg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iters", "cg_iters", "obs_per_kf")
+)
 def global_bundle_adjust(
-    cfg: SlamConfig, m: ms.MapState, iters: int = 10, cg_iters: int = 30
+    cfg: SlamConfig, m: ms.MapState, iters: int = 10, cg_iters: int = 30,
+    obs_per_kf: int = 512,
 ) -> ms.MapState:
-    """Full-map BA with the matrix-free Schur solver (GBA analog)."""
+    """Full-map BA with the matrix-free Schur solver (GBA analog).
+
+    The edge list is COMPACTED before the solve: only ~a quarter of the
+    per-keyframe feature slots carry a live landmark observation, so taking
+    each keyframe's top-``obs_per_kf`` valid slots shrinks every edge-wise
+    pass ~4x at bench capacities with negligible information loss (measured
+    ~760 ms → the per-slice budget that lets overlapped GBA ride chunk
+    boundaries without stalling the two-robot pipeline; PROFILE.md r5)."""
     K, Mfeat = m.kf_obs_lm.shape
     obs_lm = m.kf_obs_lm
     feat_ok = m.kf_feat_valid & (obs_lm >= 0) & m.kf_valid[:, None]
     lm_idx = jnp.maximum(obs_lm, 0)
     feat_ok &= m.lm_valid[lm_idx]
-    obs_cam = jnp.broadcast_to(jnp.arange(K)[:, None], (K, Mfeat))
     sigma2 = (
         cfg.tracking.pixel_noise
         * cfg.orb.scale_factor ** m.kf_level.astype(jnp.float32)
     ) ** 2
+    E_kf = min(obs_per_kf, Mfeat)
+    if E_kf < Mfeat:
+        # valid observations first (ties broken toward low feature index)
+        key = feat_ok.astype(jnp.float32) * 2.0 - jnp.arange(
+            Mfeat, dtype=jnp.float32
+        ) / Mfeat
+        _, sel = jax.lax.top_k(key, E_kf)  # [K, E_kf]
+        take = jnp.take_along_axis
+        lm_idx = take(lm_idx, sel, 1)
+        feat_ok = take(feat_ok, sel, 1)
+        xy = take(m.kf_xy, sel[..., None], 1)
+        sigma2 = take(sigma2, sel, 1)
+        ur = take(m.kf_ur, sel, 1)
+    else:
+        xy, ur = m.kf_xy, m.kf_ur
+    obs_cam = jnp.broadcast_to(jnp.arange(K)[:, None], (K, E_kf))
     prob = ba.BAProblem(
         T_cw=m.kf_pose,
         K=m.kf_K,
@@ -451,10 +476,10 @@ def global_bundle_adjust(
         point_valid=m.lm_valid,
         obs_cam=obs_cam.reshape(-1).astype(jnp.int32),
         obs_point=lm_idx.reshape(-1).astype(jnp.int32),
-        obs_uv=m.kf_xy.reshape(-1, 2),
+        obs_uv=xy.reshape(-1, 2),
         obs_sigma2=sigma2.reshape(-1),
         obs_valid=feat_ok.reshape(-1),
-        obs_ur=m.kf_ur.reshape(-1) if cfg.camera.bf > 0 else None,
+        obs_ur=ur.reshape(-1) if cfg.camera.bf > 0 else None,
         bf=(
             jnp.full((K,), cfg.camera.bf, jnp.float32)
             if cfg.camera.bf > 0

@@ -532,7 +532,8 @@ class MultiMapper:
         # with abort-on-new-event, LoopClosing.cc:812 — re-scheduling on a
         # fresh merge is the abort analog)
         mcA.map, gba_cost = lc_stage.global_bundle_adjust(
-            cfg, mcA.map, iters=mcA.gba_slice_iters
+            cfg, mcA.map, iters=mcA.gba_slice_iters,
+            cg_iters=mcA.gba_cg_iters,
         )
         mcA.schedule_gba(first_cost=float(gba_cost))
         T_anchor_after = np.asarray(mcA.map.kf_pose[anchor])

@@ -224,6 +224,10 @@ class MapContext:
         self.gba_remaining = 0
         self.gba_max_slices = 12
         self.gba_slice_iters = 2
+        # CG budget per slice: slices repeat at chunk boundaries, so each
+        # one only needs enough Krylov depth to make progress — 16 keeps a
+        # slice inside the two-robot chunk budget on the real chip
+        self.gba_cg_iters = 16
         self._gba_last_cost = None
         # device scalar of the most recent slice's cost, resolved ONE slice
         # late so a slice dispatch never blocks the host on GBA compute
@@ -442,7 +446,8 @@ class MapContext:
             # one immediate slice to stabilize the seam; the rest of the
             # global BA runs overlapped, one slice per chunk boundary
             self.map, cost = lc_stage.global_bundle_adjust(
-                cfg, self.map, iters=self.gba_slice_iters
+                cfg, self.map, iters=self.gba_slice_iters,
+                cg_iters=self.gba_cg_iters,
             )
             self.schedule_gba(first_cost=float(cost))
         self.last_loop_kf = slot
@@ -493,7 +498,8 @@ class MapContext:
         with tr.span("gba_slice", map_id=self.map_id,
                      remaining=self.gba_remaining):
             self.map, self._gba_cost_pending = lc_stage.global_bundle_adjust(
-                self.cfg, self.map, iters=self.gba_slice_iters
+                self.cfg, self.map, iters=self.gba_slice_iters,
+                cg_iters=self.gba_cg_iters,
             )
         self.gba_remaining -= 1
         tr.incr("gba_slices")

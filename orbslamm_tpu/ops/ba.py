@@ -895,6 +895,30 @@ def sim3_refine(
                             n_inliers=inl.sum().astype(jnp.int32))
 
 
+def _make_sorted_segsum(ids: jax.Array, n_seg: int):
+    """Edge→node segment sum WITHOUT scatter: sort once (the permutation is
+    a pure function of the static edge list), then every reduction is
+    gather → cumsum → two boundary gathers. XLA lowers `.at[ids].add` to a
+    serialized dynamic-update-slice chain on TPU (~240x off HBM speed-of-
+    light measured at E=262k, PROFILE.md round 5); the sorted-cumsum form
+    is three bandwidth-bound passes. The running sum is carried in f64 so
+    boundary differences of a long cumsum don't cancel catastrophically."""
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    idx = jnp.arange(n_seg, dtype=ids.dtype)
+    start = jnp.searchsorted(sorted_ids, idx, side="left")
+    end = jnp.searchsorted(sorted_ids, idx, side="right")
+
+    def segsum(vals: jax.Array) -> jax.Array:  # [E, ...] -> [n_seg, ...]
+        v = vals[order].astype(jnp.float64)
+        cz = jnp.concatenate(
+            [jnp.zeros_like(v[:1]), jnp.cumsum(v, axis=0)], axis=0
+        )
+        return (cz[end] - cz[start]).astype(vals.dtype)
+
+    return segsum
+
+
 def bundle_adjust_cg(
     p: BAProblem,
     iters: int = 10,
@@ -910,10 +934,14 @@ def bundle_adjust_cg(
     this scales to full-map global BA (reference RunGlobalBundleAdjustment)
     and shards over devices along the edge axis.
     Block-Jacobi preconditioner from the exact Schur diagonal blocks.
+    All edge→node reductions use the scatter-free sorted-cumsum form
+    (_make_sorted_segsum) — the CG matvec is pure gather/cumsum/einsum.
     """
     C = p.T_cw.shape[0]
     Pn = p.points.shape[0]
     chi2_e = _chi2_per_edge(p, chi2_th)
+    seg_cam = _make_sorted_segsum(p.obs_cam, C)
+    seg_pt = _make_sorted_segsum(p.obs_point, Pn)
 
     def step(carry, _):
         T_cw, points, lam = carry
@@ -926,17 +954,17 @@ def bundle_adjust_cg(
         Jc = Jc * free[p.obs_cam][:, None, None]
         wJc = Jc * w[:, None, None]
         wJp = Jp * w[:, None, None]
-        Hcc = jnp.zeros((C, 6, 6)).at[p.obs_cam].add(jnp.einsum("eia,eib->eab", wJc, Jc))
-        Hpp = jnp.zeros((Pn, 3, 3)).at[p.obs_point].add(jnp.einsum("eia,eib->eab", wJp, Jp))
-        gc = jnp.zeros((C, 6)).at[p.obs_cam].add(jnp.einsum("eia,ei->ea", wJc, r))
-        gp = jnp.zeros((Pn, 3)).at[p.obs_point].add(jnp.einsum("eia,ei->ea", wJp, r))
+        Hcc = seg_cam(jnp.einsum("eia,eib->eab", wJc, Jc))
+        Hpp = seg_pt(jnp.einsum("eia,eib->eab", wJp, Jp))
+        gc = seg_cam(jnp.einsum("eia,ei->ea", wJc, r))
+        gp = seg_pt(jnp.einsum("eia,ei->ea", wJp, r))
         Hcc_d = Hcc + ((lam + 1e-5) * jnp.eye(6))[None] * jnp.maximum(
             jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1.0
         )
         Hpp_d = Hpp + ((lam + 1e-5) * jnp.eye(3))[None] * jnp.maximum(
             jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1.0
         )
-        w_per_pt = jnp.zeros((Pn,)).at[p.obs_point].add(w)
+        w_per_pt = seg_pt(w)
         observed = w_per_pt > 1e-9
         Hpp_d = jnp.where(observed[:, None, None], Hpp_d, jnp.eye(3)[None])
         Hpp_inv = _inv3x3(Hpp_d)
@@ -945,17 +973,13 @@ def bundle_adjust_cg(
 
         def schur_mv(x):  # x [C,6] -> S x
             xt = x[p.obs_cam]  # [E,6]
-            y = jnp.zeros((Pn, 3)).at[p.obs_point].add(
-                jnp.einsum("eab,ea->eb", Wcp, xt)
-            )
+            y = seg_pt(jnp.einsum("eab,ea->eb", Wcp, xt))
             z = jnp.einsum("pab,pb->pa", Hpp_inv, y)
-            back = jnp.zeros((C, 6)).at[p.obs_cam].add(
-                jnp.einsum("eab,eb->ea", Wcp, z[p.obs_point])
-            )
+            back = seg_cam(jnp.einsum("eab,eb->ea", Wcp, z[p.obs_point]))
             return jnp.einsum("cab,cb->ca", Hcc_d, x) - back
 
         # exact Schur diagonal blocks for block-Jacobi preconditioning
-        Sdiag_sub = jnp.zeros((C, 6, 6)).at[p.obs_cam].add(
+        Sdiag_sub = seg_cam(
             jnp.einsum("eab,ebd,ecd->eac", Wcp, Hpp_inv[p.obs_point], Wcp)
         )
         Sdiag = Hcc_d - Sdiag_sub
@@ -965,9 +989,7 @@ def bundle_adjust_cg(
 
         # rhs = -(gc - W Hpp^-1 gp)
         zp = jnp.einsum("pab,pb->pa", Hpp_inv, gp)
-        red = jnp.zeros((C, 6)).at[p.obs_cam].add(
-            jnp.einsum("eab,eb->ea", Wcp, zp[p.obs_point])
-        )
+        red = seg_cam(jnp.einsum("eab,eb->ea", Wcp, zp[p.obs_point]))
         rhs = -(gc - red)
         rhs = jnp.where(lock[:, None], 0.0, rhs)
 
@@ -995,9 +1017,7 @@ def bundle_adjust_cg(
         )
         dc = jnp.where(lock[:, None], 0.0, dc)
         # back-substitute points
-        wt = jnp.zeros((Pn, 3)).at[p.obs_point].add(
-            jnp.einsum("eab,ea->eb", Wcp, dc[p.obs_cam])
-        )
+        wt = seg_pt(jnp.einsum("eab,ea->eb", Wcp, dc[p.obs_cam]))
         dp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + wt)
         dp = dp * (p.point_valid & observed)[:, None]
 

@@ -57,7 +57,7 @@ def main():
     from orbslamm_tpu.ops.pallas import hamming as ph
 
     N_INNER = 50
-    for N, M in ((2048, 2048), (2048, 8192), (4096, 8192)):
+    for N, M in ((2048, 2048), (2048, 4096), (4096, 4096)):
         da = jnp.asarray(rng.integers(0, 256, (N, 32), np.uint8))
         db = jnp.asarray(rng.integers(0, 256, (M, 32), np.uint8))
         va = jnp.ones((N,), bool)
