@@ -178,6 +178,46 @@ def bench_multi(cfg, n_points=2500, seed=21):
             mm.process_frame(k, seq.images[starts[k] + j],
                              float(seq.timestamps[starts[k] + j]))
 
+    # pre-compile every rare-event program OUTSIDE the measured window on
+    # throwaway inputs (all are pure functions of static-shaped arrays):
+    # the merge transplant, essential graph, GBA slice, cross-map Sim3
+    # verify, and follower replay would otherwise first-compile MID-PHASE
+    # and register as multi-second stall chunks (max_chunk_s 116 measured
+    # before this warmup; the total compile cost is unchanged, it just
+    # stops polluting the steady-state window)
+    import jax
+    import jax.numpy as jnp
+
+    from orbslamm_tpu.models import loop_closing as lc_stage
+    from orbslamm_tpu.models.multimap import merge_maps
+    from orbslamm_tpu.ops import geometry as geo
+    from orbslamm_tpu.parallel.streams import _replay_kfs_device
+
+    mc0, mc1 = robots[0].mapctx, robots[1].mapctx
+    _, c = lc_stage.global_bundle_adjust(
+        cfg, mc0.map, iters=mc0.gba_slice_iters, cg_iters=mc0.gba_cg_iters
+    )
+    c.block_until_ready()
+    warm = lc_stage.correct_loop(
+        cfg, mc0.map, jnp.int32(1), jnp.int32(0),
+        geo.sim3_from_se3(jnp.asarray(np.eye(4, dtype=np.float32))),
+    )
+    jax.block_until_ready(warm.kf_pose)
+    ls_w = lc_stage.compute_loop_sim3_cross(
+        cfg, mc1.map, mc0.map, jnp.int32(1), jnp.int32(1), jax.random.key(0)
+    )
+    jax.block_until_ready(ls_w.S_ba)
+    mw = merge_maps(cfg, mc0.map, mc1.map, ls_w.S_ba, jnp.int32(0),
+                    jnp.int32(0), jnp.int32(mc0.n_kf))
+    jax.block_until_ready(mw.map.kf_pose)
+    if mc0.kf_bow is not None and mc0.voc is not None:
+        rw = _replay_kfs_device(
+            cfg, mc0.map, mc0.kf_bow, mc0.voc, mc1.map,
+            jnp.full((16,), -1, jnp.int32), mc0.map.lm_valid,
+            jnp.int32(mc0.n_kf), jnp.int32(0), True,
+        )
+        jax.block_until_ready(rw[0].kf_pose)
+
     bank = ps.StreamBank(cfg, robots, chunk_size=CHUNK)
     # loss recovery inside the bank: new-map-on-loss (Tracking.cc:330-366)
     bank.on_lost = lambda t: mm._handle_loss(t, 0.0)

@@ -222,7 +222,7 @@ class MapContext:
         # ADAPTIVE: each slice reads back the BA cost and stops early on
         # convergence (or runs up to gba_max_slices on a big merged map).
         self.gba_remaining = 0
-        self.gba_max_slices = 12
+        self.gba_max_slices = 8
         self.gba_slice_iters = 2
         # CG budget per slice: slices repeat at chunk boundaries, so each
         # one only needs enough Krylov depth to make progress — 16 keeps a
