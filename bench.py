@@ -217,6 +217,18 @@ def bench_multi(cfg, n_points=2500, seed=21):
             jnp.int32(mc0.n_kf), jnp.int32(0), True,
         )
         jax.block_until_ready(rw[0].kf_pose)
+    from orbslamm_tpu.models import fused as fused_mod
+    from orbslamm_tpu.models import local_mapping as lm_mod
+    from orbslamm_tpu.models import map_state as ms_mod
+
+    ts_w = robots[0]._make_ts()
+    rb = fused_mod.rebase_track_state(
+        ts_w, jnp.eye(4), jnp.eye(4)
+    )
+    jax.block_until_ready(rb.T_cw)
+    fz = lm_mod.fuse_neighbors(cfg, mc0.map, jnp.int32(1))
+    jax.block_until_ready(fz.kf_pose)
+    jax.block_until_ready(ms_mod.lm_indicator(mc0.map))
 
     bank = ps.StreamBank(cfg, robots, chunk_size=CHUNK)
     # loss recovery inside the bank: new-map-on-loss (Tracking.cc:330-366)

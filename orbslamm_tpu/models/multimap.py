@@ -566,20 +566,26 @@ class MultiMapper:
         # ride every later correction (System.cc:470-499 semantics)
         S_inv = geo.sim3_inv(res.S_AB)
         s_AB = float(geo.sim3_parts(res.S_AB)[0])
-        for r in self.robots:
-            for f in r.frames:
-                if f.map_id == mcB.map_id and f.state == "OK":
-                    S = geo.sim3_compose(
-                        geo.sim3_from_se3(jnp.asarray(f.T_cw)), S_inv
-                    )
-                    f.T_cw = np.asarray(geo.sim3_to_se3(S))
-                    f.map_id = mcA.map_id
-                    if f.ref_slot >= 0:
-                        f.ref_slot += nA
-                    if f.T_rel is not None:
-                        T = np.array(f.T_rel)
-                        T[:3, 3] *= s_AB
-                        f.T_rel = T
+        retro = [f for r in self.robots for f in r.frames
+                 if f.map_id == mcB.map_id and f.state == "OK"]
+        if retro:
+            # ONE batched dispatch for all records (a per-record device op
+            # chain costs two relay round trips each — seconds at merge time)
+            T_all = jnp.asarray(np.stack([f.T_cw for f in retro]))
+            T_new_all = np.asarray(jax.vmap(
+                lambda T: geo.sim3_to_se3(
+                    geo.sim3_compose(geo.sim3_from_se3(T), S_inv)
+                )
+            )(T_all))
+            for f, T_n in zip(retro, T_new_all):
+                f.T_cw = T_n
+                f.map_id = mcA.map_id
+                if f.ref_slot >= 0:
+                    f.ref_slot += nA
+                if f.T_rel is not None:
+                    T = np.array(f.T_rel)
+                    T[:3, 3] *= s_AB
+                    f.T_rel = T
         mcB.merged_into = mcA
         self.merges.append((mcB.map_id, mcA.map_id, slot_b, slot_a))
 

@@ -212,6 +212,11 @@ class MapContext:
         # covisibility-consistency chains (LoopClosing.cc:158-217): each
         # entry is (group member set, consecutive-detection count)
         self._consist: list[tuple[set, int]] = []
+        # failed Sim3 verifications back off (candidate -> slot of the last
+        # failed attempt): in an overlap region the same candidate keeps
+        # clearing the BoW floor long before its geometry verifies, and
+        # every verify is a blocking device dispatch+fetch
+        self._loop_verify_cooldown: dict[int, int] = {}
         # overlapped global BA (the reference's detached, abortable GBA
         # thread, LoopClosing.cc:585,656-810, TPU-style): a loop closure /
         # merge schedules LM slices which run one per chunk boundary OVER
@@ -431,12 +436,15 @@ class MapContext:
                 return False
             ls, cand = None, -1
             for c in enough:
+                if slot - self._loop_verify_cooldown.get(c, -(10**9)) < 8:
+                    continue
                 ls_c = lc_stage.compute_loop_sim3(
                     cfg, self.map, jnp.int32(slot), jnp.int32(c), key
                 )
                 if bool(ls_c.success):
                     ls, cand = ls_c, c
                     break
+                self._loop_verify_cooldown[c] = slot
         if ls is None:
             return False
         with tr.span("loop_correct", map_id=self.map_id):
