@@ -898,11 +898,14 @@ def sim3_refine(
 def _make_sorted_segsum(ids: jax.Array, n_seg: int):
     """Edge→node segment sum WITHOUT scatter: sort once (the permutation is
     a pure function of the static edge list), then every reduction is
-    gather → cumsum → two boundary gathers. XLA lowers `.at[ids].add` to a
-    serialized dynamic-update-slice chain on TPU (~240x off HBM speed-of-
-    light measured at E=262k, PROFILE.md round 5); the sorted-cumsum form
-    is three bandwidth-bound passes. The running sum is carried in f64 so
-    boundary differences of a long cumsum don't cancel catastrophically."""
+    gather → cumsum → two boundary gathers. MEASURED on the v5e relay this
+    is ~15% SLOWER than the scatter form at E=262k (both are dominated by
+    irregular memory traffic), and the sequential cumsum SERIALIZES across
+    devices when the edge axis is sharded (kf-sharded GBA efficiency
+    1.0 → 0.23 measured) — so the scatter form stays the default; this is
+    kept for single-device experimentation. The running sum is carried in
+    f64 (where enabled) so boundary differences of a long cumsum don't
+    cancel catastrophically."""
     order = jnp.argsort(ids)
     sorted_ids = ids[order]
     idx = jnp.arange(n_seg, dtype=ids.dtype)
@@ -925,6 +928,7 @@ def bundle_adjust_cg(
     cg_iters: int = 30,
     chi2_th: float = CHI2_MONO,
     lam0: float = 1e-4,
+    segsum: str = "scatter",
 ) -> BAResult:
     """LM bundle adjustment with a MATRIX-FREE Schur solve (PCG).
 
@@ -934,14 +938,21 @@ def bundle_adjust_cg(
     this scales to full-map global BA (reference RunGlobalBundleAdjustment)
     and shards over devices along the edge axis.
     Block-Jacobi preconditioner from the exact Schur diagonal blocks.
-    All edge→node reductions use the scatter-free sorted-cumsum form
-    (_make_sorted_segsum) — the CG matvec is pure gather/cumsum/einsum.
+    ``segsum``: "scatter" (default — shards cleanly over the edge axis) or
+    "sorted" (single-device sorted-cumsum variant, see _make_sorted_segsum).
     """
     C = p.T_cw.shape[0]
     Pn = p.points.shape[0]
     chi2_e = _chi2_per_edge(p, chi2_th)
-    seg_cam = _make_sorted_segsum(p.obs_cam, C)
-    seg_pt = _make_sorted_segsum(p.obs_point, Pn)
+    if segsum == "sorted":
+        seg_cam = _make_sorted_segsum(p.obs_cam, C)
+        seg_pt = _make_sorted_segsum(p.obs_point, Pn)
+    else:
+        def seg_cam(v):
+            return jnp.zeros((C,) + v.shape[1:], v.dtype).at[p.obs_cam].add(v)
+
+        def seg_pt(v):
+            return jnp.zeros((Pn,) + v.shape[1:], v.dtype).at[p.obs_point].add(v)
 
     def step(carry, _):
         T_cw, points, lam = carry
